@@ -1,0 +1,418 @@
+"""Span-stream -> Markdown assembly kernel (O1-O18) — batch-vectorized.
+
+The engine's equivalent of the reference's per-format processors: one
+kernel that turns a batch of documents' interleaved span arrays into
+Markdown plus the emitted block stream (the golden span-sequence surface).
+
+Processing profile is carried by the ``doc_id`` prefix (the generator's
+document class), mirroring how the reference routes by file extension
+(``/root/reference/docstrange/extractor.py:336-372``):
+
+- ``markup``  (html_page): DOM rebuild + boilerplate strip + <title>
+  promotion (url_processor.py:249-333), then direct rendering with
+  whitespace-collapsed text (url_processor.py:335-360);
+- ``layout``  (pdf_pages, classify_edge, mega_doc): reading-order sort,
+  offset-adjacency paragraph grouping (the offset analog of the 1.5×
+  line-height rule, layout_detector.py:85-119), punctuation-aware join
+  (:121-170), block classification (:188-239), heading levels (:206-216),
+  table-row formatting (:241-253);
+- ``ocr``     (ocr_noisy): layout + the lossy OCR post-process applied to
+  each joined paragraph before classification (:172-186) — profile-gated
+  here where the reference hard-wires it into its OCR path;
+- ``direct``  (everything else): spans already carry structure (the DOCX/
+  PPTX/Excel analog); docx_like additionally applies the 20-row table cap
+  and merged-cell warning (docx_processor.py:127-156).
+
+All regex/string work is pandas-vectorized across the whole Arrow batch;
+per-group Python survives only where semantics are inherently per-group
+(table grid pivot, punctuation-aware join, DOM walks).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from docstrange_spark.kernels import boilerplate, textproc
+
+PROFILE_BY_CLASS = {
+    "html_page": "markup",
+    "pdf_pages": "layout",
+    "classify_edge": "layout",
+    "mega_doc": "layout",
+    "ocr_noisy": "ocr",
+}
+RUN_KINDS = {"code", "blockquote", "list_item", "table_cell"}
+DROP_KINDS = {"script", "style", "tag_open", "tag_close"}
+
+DOCX_ROW_LIMIT = 20
+MERGED_CELL_WARNING = (
+    "*Warning: Table contains merged cells which may not render correctly "
+    "in markdown.*"
+)
+
+
+def doc_class(doc_id: str) -> str:
+    return doc_id.split("-", 1)[0]
+
+
+def profile_of(doc_id: str) -> str:
+    return PROFILE_BY_CLASS.get(doc_class(doc_id), "direct")
+
+
+# ---------------------------------------------------------------------------
+# explode / profile
+
+
+def _explode(doc_ids: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
+    lists = [s if s is not None else [] for s in spans_col]
+    counts = np.fromiter((len(s) for s in lists), dtype=np.int64, count=len(lists))
+    records = list(itertools.chain.from_iterable(lists))
+    if records:
+        flat = pd.DataFrame.from_records(records)
+    else:
+        flat = pd.DataFrame(columns=["kind", "text", "media_ref", "offset"])
+    flat["doc_idx"] = np.repeat(np.arange(len(lists)), counts)
+    flat["text"] = flat["text"].fillna("")
+    flat["media_ref"] = flat["media_ref"].fillna("")
+    flat["offset"] = flat["offset"].fillna(0).astype(np.int64)
+    return flat
+
+
+# ---------------------------------------------------------------------------
+# per-span line rendering (vectorized)
+
+
+def _heading_lines(texts: pd.Series, refs: pd.Series) -> pd.Series:
+    """Markdown heading lines: explicit ``h{n}`` media_ref wins (clamped
+    to 6, the DOCX rule), a non-numeric ref falls back to h2 (the DOCX
+    ``Heading Foo`` fallback), an empty ref infers from word count."""
+    explicit = refs.str.extract(r"^h(\d+)$", expand=False)
+    inferred = textproc.heading_levels(texts)
+    levels = np.where(
+        explicit.notna(),
+        np.minimum(pd.to_numeric(explicit, errors="coerce").fillna(2).astype(int), 6),
+        np.where(refs.eq("") | refs.isna(), inferred, 2),
+    ).astype(int)
+    return pd.Series(
+        ["#" * lv + " " + t.strip() for lv, t in zip(levels, texts.fillna(""))],
+        index=texts.index,
+    )
+
+
+def _list_lines(texts: pd.Series, refs: pd.Series) -> pd.Series:
+    """List-item lines from ``ul:{indent}`` / ``ol:{indent}:{n}`` refs;
+    bare items render as ``- item`` (the layout-path default,
+    layout_detector.py:77)."""
+    parsed = refs.str.extract(r"^(ul|ol):(\d+)(?::(\d+))?$")
+    indent = pd.to_numeric(parsed[1], errors="coerce").fillna(0).astype(int)
+    number = parsed[2].fillna("1")
+    marker = np.where(parsed[0].eq("ol"), number + ". ", "- ")
+    pads = indent.map(lambda n: "  " * int(n))
+    return pads.str.cat(pd.Series(marker, index=texts.index)).str.cat(
+        texts.fillna("").str.strip()
+    )
+
+
+def _render_simple_lines(flat: pd.DataFrame) -> pd.Series:
+    """Vectorized per-span markdown line for every kind that needs no
+    group context. text spans pass through raw (layout grouping and
+    markup cleaning are applied elsewhere)."""
+    kind = flat["kind"]
+    text = flat["text"]
+    ref = flat["media_ref"]
+    line = text.copy()
+
+    m = kind.eq("heading")
+    if m.any():
+        line.loc[m] = _heading_lines(text[m], ref[m])
+    m = kind.eq("list_item")
+    if m.any():
+        line.loc[m] = _list_lines(text[m], ref[m])
+    m = kind.eq("blockquote")
+    if m.any():
+        line.loc[m] = "> " + text[m].str.strip()
+    m = kind.eq("link")
+    if m.any():
+        line.loc[m] = "[" + text[m] + "](" + ref[m] + ")"
+    m = kind.eq("image")
+    if m.any():
+        line.loc[m] = "![" + text[m] + "](" + ref[m] + ")"
+    m = kind.eq("page_break")
+    if m.any():
+        label = np.where(ref[m].eq("slide"), "## Slide ", "## Page ")
+        line.loc[m] = pd.Series(label, index=text[m].index).str.cat(text[m].str.strip())
+    return line
+
+
+# ---------------------------------------------------------------------------
+# table grids
+
+
+def _render_table(cells: pd.DataFrame, capped: bool) -> list[tuple[str, str, str]]:
+    """Pivot one table's cell spans into markdown rows. Returns blocks as
+    (kind, text, media_ref) — notice lines precede the table like the
+    reference emits them as separate content parts."""
+    rows = cells["_trow"].to_numpy()
+    cols = cells["_tcol"].to_numpy()
+    n_rows = int(rows.max()) + 1
+    n_cols = int(cols.max()) + 1
+    grid = np.full((n_rows, n_cols), "", dtype=object)
+    grid[rows, cols] = cells["text"].str.replace("\n", " ", regex=False).str.strip()
+
+    blocks: list[tuple[str, str, str]] = []
+    tid = cells["_tid"].iat[0]
+    if capped and bool(cells["_tmerged"].any()):
+        blocks.append(("notice", MERGED_CELL_WARNING, ""))
+    limit = n_rows
+    if capped and n_rows > DOCX_ROW_LIMIT:
+        limit = DOCX_ROW_LIMIT
+        blocks.append(
+            (
+                "notice",
+                f"*Table truncated to first {DOCX_ROW_LIMIT} rows out of {n_rows} total.*",
+                "",
+            )
+        )
+    lines = ["| " + " | ".join(grid[0]) + " |"]
+    lines.append("| " + " | ".join(["---"] * n_cols) + " |")
+    for r in range(1, limit):
+        lines.append("| " + " | ".join(grid[r]) + " |")
+    blocks.append(("table", "\n".join(lines), f"t{tid}"))
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# main kernel
+
+
+BLOCK_KIND_BY_SPAN = {
+    "heading": "heading",
+    "text": "paragraph",
+    "list_item": "list",
+    "code": "code",
+    "blockquote": "blockquote",
+    "image": "image",
+    "link": "link",
+    "page_break": "page_header",
+}
+
+
+def assemble_batch(doc_ids: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
+    """Assemble a batch: returns DataFrame (doc_id, markdown, out_spans,
+    n_blocks, profile) aligned with the input order. ``out_spans`` is the
+    emitted block stream as a list of (kind, text, media_ref, offset)
+    dicts — the golden span-sequence surface."""
+    n_docs = len(doc_ids)
+    classes = doc_ids.map(doc_class)
+    profiles = classes.map(lambda c: PROFILE_BY_CLASS.get(c, "direct")).to_numpy()
+
+    flat = _explode(doc_ids.reset_index(drop=True), spans_col.reset_index(drop=True))
+    flat["profile"] = pd.Series(profiles).reindex(flat["doc_idx"]).to_numpy()
+    flat["capped"] = classes.eq("docx_like").reset_index(drop=True).reindex(flat["doc_idx"]).to_numpy()
+
+    # -- markup profile: DOM strip per doc, re-inject filtered spans -------
+    is_markup = flat["profile"].eq("markup")
+    if is_markup.any():
+        kept_parts: list[pd.DataFrame] = [flat[~is_markup]]
+        for doc_idx, grp in flat[is_markup].groupby("doc_idx", sort=False):
+            ordered = grp.sort_values("offset", kind="stable")
+            spans = ordered[["kind", "text", "media_ref", "offset"]].to_dict("records")
+            title, content = boilerplate.strip_boilerplate(spans)
+            rows = []
+            if title:
+                rows.append(
+                    {"kind": "heading", "text": title, "media_ref": "h1", "offset": -1}
+                )
+            rows.extend(content)
+            sub = pd.DataFrame(rows, columns=["kind", "text", "media_ref", "offset"])
+            sub["doc_idx"] = doc_idx
+            sub["profile"] = "markup"
+            sub["capped"] = False
+            kept_parts.append(sub)
+        flat = pd.concat(kept_parts, ignore_index=True)
+        # web-text cleanup: collapse intra-line whitespace (O4)
+        m = flat["profile"].eq("markup") & flat["kind"].eq("text")
+        if m.any():
+            flat.loc[m, "text"] = (
+                flat.loc[m, "text"].str.split().str.join(" ")
+            )
+
+    flat = flat[~flat["kind"].isin(DROP_KINDS)]
+    flat = flat.sort_values(["doc_idx", "offset"], kind="stable").reset_index(drop=True)
+
+    if len(flat):
+        # -- table-cell coordinates (vectorized parse) ---------------------
+        tparsed = flat["media_ref"].str.extract(r"^r(\d+):c(\d+):t(\d+)(:m)?$")
+        flat["_trow"] = pd.to_numeric(tparsed[0], errors="coerce").fillna(0).astype(int)
+        flat["_tcol"] = pd.to_numeric(tparsed[1], errors="coerce").fillna(0).astype(int)
+        flat["_tid"] = pd.to_numeric(tparsed[2], errors="coerce").fillna(-1).astype(int)
+        flat["_tmerged"] = tparsed[3].notna()
+
+        # -- block grouping: vectorized segmented scan ---------------------
+        kind = flat["kind"]
+        layoutish = flat["profile"].isin(["layout", "ocr"])
+        prev_doc = flat["doc_idx"].shift(1)
+        prev_kind = kind.shift(1)
+        prev_ref = flat["media_ref"].shift(1)
+        prev_tid = flat["_tid"].shift(1)
+        prev_off = flat["offset"].shift(1)
+
+        mergeable = kind.isin(RUN_KINDS) | (kind.eq("text") & layoutish)
+        aux_same = np.select(
+            [kind.eq("code"), kind.eq("table_cell"), kind.eq("text")],
+            [
+                flat["media_ref"].eq(prev_ref),
+                flat["_tid"].eq(prev_tid),
+                flat["offset"].eq(prev_off + 1),
+            ],
+            default=True,
+        )
+        merge = (
+            flat["doc_idx"].eq(prev_doc)
+            & kind.eq(prev_kind)
+            & mergeable
+            & pd.Series(aux_same, index=flat.index)
+        )
+        flat["block_id"] = (~merge).cumsum()
+        flat["line"] = _render_simple_lines(flat)
+    else:
+        flat["block_id"] = pd.Series(dtype=np.int64)
+        flat["line"] = pd.Series(dtype=object)
+        for c in ("_trow", "_tcol", "_tid", "_tmerged"):
+            flat[c] = pd.Series(dtype=object)
+
+    # -- aggregate groups into blocks: vectorized fast paths per kind ------
+    out_parts: list[pd.DataFrame] = []
+
+    # fast path: blocks whose markdown is the newline-join of their lines
+    joinable = flat[flat["kind"].isin(["heading", "list_item", "blockquote", "image", "link", "page_break"]) ]
+    if len(joinable):
+        agg = joinable.groupby("block_id", sort=False).agg(
+            doc_idx=("doc_idx", "first"),
+            kind=("kind", "first"),
+            text=("line", "\n".join),
+            media_ref=("media_ref", "first"),
+        )
+        agg["kind"] = agg["kind"].map(BLOCK_KIND_BY_SPAN)
+        agg.loc[agg["kind"].isin(["list", "blockquote"]), "media_ref"] = ""
+        # heading block refs record the rendered level
+        hm = agg["kind"].eq("heading")
+        agg.loc[hm, "media_ref"] = agg.loc[hm, "text"].str.extract(r"^(#+)", expand=False).str.len().map(
+            lambda n: f"h{int(n)}" if pd.notna(n) else ""
+        )
+        out_parts.append(agg.reset_index())
+
+    # direct/markup text spans: each its own paragraph block
+    direct_text = flat[flat["kind"].eq("text") & ~flat["profile"].isin(["layout", "ocr"])]
+    if len(direct_text):
+        dt = direct_text[["block_id", "doc_idx", "text"]].copy()
+        dt["kind"] = "paragraph"
+        dt["media_ref"] = ""
+        out_parts.append(dt[["block_id", "doc_idx", "kind", "text", "media_ref"]])
+
+    # layout/ocr text runs: smart join -> (ocr clean) -> classify -> render
+    layout_text = flat[flat["kind"].eq("text") & flat["profile"].isin(["layout", "ocr"])]
+    if len(layout_text):
+        joined = layout_text.groupby("block_id", sort=False).agg(
+            doc_idx=("doc_idx", "first"),
+            profile=("profile", "first"),
+            texts=("text", list),
+        )
+        joined["para"] = joined["texts"].map(textproc.smart_join)
+        ocr_mask = joined["profile"].eq("ocr")
+        if ocr_mask.any():
+            joined.loc[ocr_mask, "para"] = textproc.ocr_postprocess(
+                joined.loc[ocr_mask, "para"]
+            ).str.strip()
+        cls = textproc.classify_blocks(joined["para"])
+        levels = textproc.heading_levels(joined["para"])
+        heading_md = pd.Series(
+            ["#" * lv + " " + t for lv, t in zip(levels, joined["para"])],
+            index=joined.index,
+        )
+        table_md = textproc.format_table_rows(joined["para"])
+        joined["text"] = np.select(
+            [cls.eq("heading"), cls.eq("list_item"), cls.eq("table_row")],
+            [heading_md, "- " + joined["para"], table_md],
+            default=joined["para"],
+        )
+        joined["kind"] = np.select(
+            [cls.eq("heading"), cls.eq("list_item"), cls.eq("table_row")],
+            ["heading", "list", "table_row"],
+            default="paragraph",
+        )
+        joined["media_ref"] = np.where(
+            cls.eq("heading"), "h" + levels.astype(str), ""
+        )
+        out_parts.append(
+            joined.reset_index()[["block_id", "doc_idx", "kind", "text", "media_ref"]]
+        )
+
+    # code runs: join lines, wrap in fences
+    code = flat[flat["kind"].eq("code")]
+    if len(code):
+        agg = code.groupby("block_id", sort=False).agg(
+            doc_idx=("doc_idx", "first"),
+            lang=("media_ref", "first"),
+            body=("line", "\n".join),
+        )
+        agg["text"] = "```" + agg["lang"] + "\n" + agg["body"] + "\n```"
+        agg["kind"] = "code"
+        agg = agg.rename(columns={"lang": "media_ref"})
+        out_parts.append(
+            agg.reset_index()[["block_id", "doc_idx", "kind", "text", "media_ref"]]
+        )
+
+    # table runs: pivot per table
+    tables = flat[flat["kind"].eq("table_cell")]
+    if len(tables):
+        trows = []
+        for block_id, grp in tables.groupby("block_id", sort=False):
+            doc = int(grp["doc_idx"].iat[0])
+            capped = bool(grp["capped"].iat[0])
+            for j, (k, t, r) in enumerate(_render_table(grp, capped)):
+                # notices order before the table at the same block position
+                trows.append(
+                    {
+                        "block_id": block_id + j / 10.0,
+                        "doc_idx": doc,
+                        "kind": k,
+                        "text": t,
+                        "media_ref": r,
+                    }
+                )
+        out_parts.append(pd.DataFrame(trows))
+
+    if out_parts:
+        all_blocks = pd.concat(out_parts, ignore_index=True)
+        all_blocks = all_blocks.sort_values("block_id", kind="stable")
+    else:
+        all_blocks = pd.DataFrame(columns=["block_id", "doc_idx", "kind", "text", "media_ref"])
+
+    # -- per-doc assembly ---------------------------------------------------
+    md_by_doc = all_blocks.groupby("doc_idx")["text"].agg("\n\n".join)
+    markdown = pd.Series([""] * n_docs, dtype=object)
+    markdown.loc[md_by_doc.index] = md_by_doc.to_numpy()
+
+    spans_out: list[list[dict[str, Any]]] = [[] for _ in range(n_docs)]
+    for doc_idx, grp in all_blocks.groupby("doc_idx", sort=False):
+        spans_out[int(doc_idx)] = [
+            {"kind": k, "text": t, "media_ref": r, "offset": j}
+            for j, (k, t, r) in enumerate(
+                zip(grp["kind"], grp["text"], grp["media_ref"])
+            )
+        ]
+
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids.reset_index(drop=True),
+            "markdown": markdown,
+            "out_spans": spans_out,
+            "n_blocks": [len(s) for s in spans_out],
+            "profile": profiles,
+        }
+    )

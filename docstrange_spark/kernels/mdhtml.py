@@ -1,0 +1,210 @@
+"""Markdown -> HTML kernel (rendition R3).
+
+Behavior-compatible with the reference's converter body
+(``/root/reference/docstrange/result.py:356-686`` MarkdownToHTMLConverter):
+same pass order (fenced code -> indented code -> tables -> hr -> quotes ->
+headers -> lists -> inline -> paragraphs), same regexes, same escaping.
+The reference additionally wraps the body in a fixed ~200-line styled page
+shell (``result.py:722-938``); we emit a minimal semantic shell instead —
+the shell is presentation, not extraction semantics, and goldens compare
+the converted body.
+"""
+
+from __future__ import annotations
+
+import re
+
+HEADER_RE = re.compile(r"^(#{1,6})\s+(.+)$", re.MULTILINE)
+BOLD_ITALIC_RE = re.compile(r"\*\*\*(.+?)\*\*\*")
+BOLD_RE = re.compile(r"\*\*(.+?)\*\*")
+ITALIC_RE = re.compile(r"\*(.+?)\*")
+STRIKE_RE = re.compile(r"~~(.+?)~~")
+INLINE_CODE_RE = re.compile(r"`([^`]+)`")
+LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)]+)\)")
+IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(([^)]+)\)")
+HR_RE = re.compile(r"^---+$", re.MULTILINE)
+FENCE_RE = re.compile(r"```(\w+)?\n(.*?)\n```", re.DOTALL)
+TABLE_SEP_RE = re.compile(r"^\s*\|[\s\-:|]+\|\s*$")
+ULIST_LINE_RE = re.compile(r"^[\s]*[-*+]\s+")
+OLIST_LINE_RE = re.compile(r"^[\s]*\d+\.\s+")
+BLOCK_TAG_RE = re.compile(r"^<(h[1-6]|p|div|blockquote|pre|table|ul|ol|li|hr)")
+
+
+def escape_html(text: str) -> str:
+    return (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )
+
+
+def _fenced_code(text: str) -> str:
+    def repl(m: re.Match) -> str:
+        lang = m.group(1) or ""
+        cls = f' class="language-{lang}"' if lang else ""
+        return f"<pre><code{cls}>{escape_html(m.group(2))}</code></pre>"
+
+    return FENCE_RE.sub(repl, text)
+
+
+def _indented_code(text: str) -> str:
+    out: list[str] = []
+    code: list[str] = []
+    for line in text.split("\n"):
+        if line.startswith("    ") or line.startswith("\t"):
+            code.append(line.lstrip())
+        else:
+            if code:
+                out.append(f"<pre><code>{escape_html(chr(10).join(code))}</code></pre>")
+                code = []
+            out.append(line)
+    if code:
+        out.append(f"<pre><code>{escape_html(chr(10).join(code))}</code></pre>")
+    return "\n".join(out)
+
+
+def _table_block_to_html(rows: list[str]) -> str:
+    if len(rows) < 2:
+        return rows[0] if rows else ""
+    parts = ["<table>", "<thead><tr>"]
+    parts += [f"<th>{escape_html(c.strip())}</th>" for c in rows[0].split("|")[1:-1]]
+    parts += ["</tr></thead>", "<tbody>"]
+    for line in rows[2:]:
+        parts.append("<tr>")
+        parts += [f"<td>{escape_html(c.strip())}</td>" for c in line.split("|")[1:-1]]
+        parts.append("</tr>")
+    parts += ["</tbody>", "</table>"]
+    return "\n".join(parts)
+
+
+def _tables(text: str) -> str:
+    lines = text.split("\n")
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        if (
+            "|" in lines[i]
+            and i + 1 < len(lines)
+            and "|" in lines[i + 1]
+            and TABLE_SEP_RE.match(lines[i + 1])
+        ):
+            j = i + 1
+            while j < len(lines) and "|" in lines[j]:
+                j += 1
+            out.append(_table_block_to_html(lines[i:j]))
+            i = j
+        else:
+            out.append(lines[i])
+            i += 1
+    return "\n".join(out)
+
+
+def _blockquotes(text: str) -> str:
+    lines = text.split("\n")
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("> "):
+            quoted = [lines[i][2:]]
+            j = i + 1
+            while j < len(lines) and (lines[j].startswith("> ") or lines[j].strip() == ""):
+                quoted.append(lines[j][2:] if lines[j].startswith("> ") else "")
+                j += 1
+            quote_html = _inline("\n".join(quoted))
+            out.append(f"<blockquote>{quote_html}</blockquote>")
+            i = j
+        else:
+            out.append(lines[i])
+            i += 1
+    return "\n".join(out)
+
+
+def _headers(text: str) -> str:
+    return HEADER_RE.sub(
+        lambda m: f"<h{len(m.group(1))}>{escape_html(m.group(2))}</h{len(m.group(1))}>",
+        text,
+    )
+
+
+def _lists(text: str) -> str:
+    lines = text.split("\n")
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        for marker_re, tag in ((ULIST_LINE_RE, "ul"), (OLIST_LINE_RE, "ol")):
+            if marker_re.match(lines[i]):
+                j = i
+                items: list[str] = []
+                while j < len(lines) and (marker_re.match(lines[j]) or lines[j].strip() == ""):
+                    items.append(lines[j])
+                    j += 1
+                parts = [f"<{tag}>"]
+                for item in items:
+                    if item.strip():
+                        parts.append(f"<li>{_inline(marker_re.sub('', item))}</li>")
+                parts.append(f"</{tag}>")
+                out.append("\n".join(parts))
+                i = j
+                break
+        else:
+            out.append(lines[i])
+            i += 1
+    return "\n".join(out)
+
+
+def _inline(text: str) -> str:
+    text = BOLD_ITALIC_RE.sub(r"<strong><em>\1</em></strong>", text)
+    text = BOLD_RE.sub(r"<strong>\1</strong>", text)
+    text = ITALIC_RE.sub(r"<em>\1</em>", text)
+    text = STRIKE_RE.sub(r"<del>\1</del>", text)
+    text = INLINE_CODE_RE.sub(r"<code>\1</code>", text)
+    text = LINK_RE.sub(r'<a href="\2">\1</a>', text)
+    text = IMAGE_RE.sub(r'<img src="\2" alt="\1">', text)
+    return text
+
+
+def _paragraphs(text: str) -> str:
+    out: list[str] = []
+    para: list[str] = []
+
+    def flush() -> None:
+        if para:
+            out.append(f"<p>{' '.join(para)}</p>")
+            para.clear()
+
+    for line in text.split("\n"):
+        if line.strip() == "":
+            flush()
+        elif BLOCK_TAG_RE.match(line.strip()):
+            flush()
+            out.append(line)
+        else:
+            para.append(line)
+    flush()
+    return "\n".join(out)
+
+
+def markdown_to_html_body(markdown_text: str) -> str:
+    """Convert markdown to an HTML fragment (reference pass order)."""
+    html = _fenced_code(markdown_text)
+    html = _indented_code(html)
+    html = _tables(html)
+    html = HR_RE.sub("<hr>", html)
+    html = _blockquotes(html)
+    html = _headers(html)
+    html = _lists(html)
+    html = _inline(html)
+    return _paragraphs(html)
+
+
+def markdown_to_html_page(markdown_text: str, title: str = "Converted Document") -> str:
+    """Full-page rendition: converted body in a minimal semantic shell."""
+    body = markdown_to_html_body(markdown_text)
+    return (
+        "<!DOCTYPE html>\n"
+        '<html lang="en">\n<head>\n<meta charset="UTF-8">\n'
+        f"<title>{escape_html(title)}</title>\n</head>\n<body>\n"
+        f'<div class="content">\n{body}\n</div>\n</body>\n</html>'
+    )

@@ -1,0 +1,244 @@
+"""Markdown -> structured JSON kernel (rendition R4 + metadata).
+
+Behavior-compatible with the reference's deterministic fallback parser
+(``/root/reference/docstrange/result.py:13-353`` MarkdownToJSONParser,
+envelope at ``:1003-1009``), including its quirks, which are observable
+semantics our goldens rely on:
+
+- content appearing *before the first header* is discarded when the doc
+  has headers, but becomes a single level-1 "Content" section when it has
+  none (``result.py:75-91``);
+- ``total_sections`` counts the flat section list (nested subsections
+  included), an empty doc's metadata carries *only* ``total_sections``
+  (``result.py:40-46,96-108``);
+- image syntax also registers as a link because the link regex matches
+  inside ``![alt](url)`` (``result.py:24-25,289-302``);
+- paragraph extraction strips code/tables/lists/quotes then splits on
+  blank lines (``result.py:148-175``).
+
+The regexes are the spec and match the reference's byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+HEADER_RE = re.compile(r"^(#{1,6})\s+(.+)$", re.MULTILINE)
+ULIST_RE = re.compile(r"^(\s*)[*\-+]\s+(.+)$", re.MULTILINE)
+OLIST_RE = re.compile(r"^(\s*)\d+\.\s+(.+)$", re.MULTILINE)
+FENCE_RE = re.compile(r"```(\w+)?\n(.*?)```", re.DOTALL)
+INLINE_CODE_RE = re.compile(r"`([^`]+)`")
+LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)]+)\)")
+IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(([^)]+)\)")
+TABLE_RE = re.compile(r"\|(.+)\|\s*\n\|[-\s|:]+\|\s*\n((?:\|.+\|\s*\n?)*)", re.MULTILINE)
+QUOTE_RE = re.compile(r"^>\s+(.+)$", re.MULTILINE)
+BOLD_RE = re.compile(r"\*\*(.+?)\*\*")
+ITALIC_RE = re.compile(r"\*(.+?)\*")
+TABLE_LINE_RE = re.compile(r"\|.*\|")
+
+
+def strip_inline(text: str) -> str:
+    """Drop inline markdown formatting (bold, italic, code), keep payload."""
+    text = BOLD_RE.sub(r"\1", text)
+    text = ITALIC_RE.sub(r"\1", text)
+    text = INLINE_CODE_RE.sub(r"\1", text)
+    return text.strip()
+
+
+def _paragraphs(content: str) -> list[str]:
+    txt = FENCE_RE.sub("", content)
+    txt = TABLE_LINE_RE.sub("", txt)
+    txt = ULIST_RE.sub("", txt)
+    txt = OLIST_RE.sub("", txt)
+    txt = QUOTE_RE.sub("", txt)
+    out = []
+    for chunk in txt.split("\n\n"):
+        chunk = chunk.strip()
+        if chunk and not chunk.startswith("#"):
+            out.append(strip_inline(chunk))
+    return out
+
+
+def _lists(content: str) -> list[dict[str, Any]]:
+    found: list[dict[str, Any]] = []
+    cur: dict[str, Any] | None = None
+    for raw in content.split("\n"):
+        line = raw.rstrip()
+        m = ULIST_RE.match(line)
+        kind = "unordered" if m else None
+        if m is None:
+            m = OLIST_RE.match(line)
+            kind = "ordered" if m else None
+        if m is not None:
+            if cur is None or cur["type"] != kind:
+                if cur is not None:
+                    found.append(cur)
+                cur = {"type": kind, "items": []}
+            cur["items"].append(
+                {"text": strip_inline(m.group(2)), "level": len(m.group(1)) // 2}
+            )
+        elif cur is not None and line.strip():
+            found.append(cur)
+            cur = None
+    if cur is not None:
+        found.append(cur)
+    return found
+
+
+def _code_blocks(content: str) -> list[dict[str, str]]:
+    return [
+        {"language": m.group(1) or "text", "code": m.group(2).strip()}
+        for m in FENCE_RE.finditer(content)
+    ]
+
+
+def _split_cells(row: str) -> list[str]:
+    return [c.strip() for c in row.split("|") if c.strip()]
+
+
+def _tables(content: str) -> list[dict[str, Any]]:
+    found = []
+    for m in TABLE_RE.finditer(content):
+        headers = _split_cells(m.group(1).strip())
+        rows = [
+            cells
+            for line in m.group(2).strip().split("\n")
+            if line.strip() and "|" in line
+            for cells in [_split_cells(line)]
+            if cells
+        ]
+        if headers and rows:
+            found.append({"headers": headers, "rows": rows, "columns": len(headers)})
+    return found
+
+
+def _images(content: str) -> list[dict[str, str]]:
+    return [
+        {"alt_text": m.group(1), "url": m.group(2)}
+        for m in IMAGE_RE.finditer(content)
+    ]
+
+
+def _links(content: str) -> list[dict[str, str]]:
+    return [
+        {"text": m.group(1), "url": m.group(2)} for m in LINK_RE.finditer(content)
+    ]
+
+
+def _blockquotes(content: str) -> list[str]:
+    return [m.group(1).strip() for m in QUOTE_RE.finditer(content)]
+
+
+def parse_section_content(content: str) -> dict[str, Any]:
+    """Parse one section's body into typed components; empty keys omitted."""
+    if not content.strip():
+        return {}
+    out: dict[str, Any] = {}
+    for key, fn in (
+        ("paragraphs", _paragraphs),
+        ("lists", _lists),
+        ("code_blocks", _code_blocks),
+        ("tables", _tables),
+        ("images", _images),
+        ("links", _links),
+        ("blockquotes", _blockquotes),
+    ):
+        val = fn(content)
+        if val:
+            out[key] = val
+    return out
+
+
+def split_flat_sections(markdown_text: str) -> list[dict[str, Any]]:
+    """Split markdown at ATX headers into a flat section list.
+
+    Pre-first-header content is dropped when headers exist, else becomes a
+    single "Content" section (reference quirk, ``result.py:53-91``).
+    """
+    sections: list[dict[str, Any]] = []
+    title: str | None = None
+    level = 0
+    body: list[str] = []
+
+    def flush() -> None:
+        if title is not None:
+            sections.append(
+                {
+                    "title": title,
+                    "level": level,
+                    "type": "section",
+                    "content": parse_section_content("\n".join(body)),
+                }
+            )
+
+    for raw in markdown_text.split("\n"):
+        line = raw.rstrip()
+        m = HEADER_RE.match(line)
+        if m:
+            flush()
+            title = m.group(2).strip()
+            level = len(m.group(1))
+            body = []
+        elif line.strip() or body:
+            body.append(line)
+    if title is not None:
+        flush()
+    elif body:
+        sections.append(
+            {
+                "title": "Content",
+                "level": 1,
+                "type": "section",
+                "content": parse_section_content("\n".join(body)),
+            }
+        )
+    return sections
+
+
+def build_hierarchy(sections: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Nest the flat section list by heading level (stack algorithm,
+    mirrors ``result.py:325-353``). Mutates section dicts in place by
+    adding ``subsections`` — flat-list views stay shared, which the
+    metadata computation depends on."""
+    roots: list[dict[str, Any]] = []
+    stack: list[dict[str, Any]] = []
+    for sec in sections:
+        while stack and stack[-1]["level"] >= sec["level"]:
+            stack.pop()
+        if stack:
+            stack[-1].setdefault("subsections", []).append(sec)
+        else:
+            roots.append(sec)
+        stack.append(sec)
+    return roots
+
+
+def parse_markdown(markdown_text: str) -> dict[str, Any]:
+    """Full markdown -> structured document dict (reference ``parse``)."""
+    if not markdown_text or not markdown_text.strip():
+        return {"document": {"sections": [], "metadata": {"total_sections": 0}}}
+    flat = split_flat_sections(markdown_text)
+    roots = build_hierarchy(flat)
+    return {
+        "document": {
+            "sections": roots,
+            "metadata": {
+                "total_sections": len(flat),
+                "max_heading_level": max((s.get("level", 1) for s in flat), default=0),
+                "has_tables": any("tables" in s.get("content", {}) for s in flat),
+                "has_code_blocks": any(
+                    "code_blocks" in s.get("content", {}) for s in flat
+                ),
+                "has_lists": any("lists" in s.get("content", {}) for s in flat),
+                "has_images": any("images" in s.get("content", {}) for s in flat),
+            },
+        }
+    }
+
+
+def extract_data(markdown_text: str, metadata: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Rendition envelope: parsed document + metadata + format marker
+    (reference ``result.py:1003-1009``; the Ollama paths are an external
+    service and intentionally out of deterministic scope)."""
+    return {**parse_markdown(markdown_text), **(metadata or {}), "format": "structured_json"}

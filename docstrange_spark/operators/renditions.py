@@ -1,0 +1,104 @@
+"""Rendition operators R1-R5: markdown -> {markdown, text, html, json, csv}.
+
+Pure string->string functions, so they are scalar pandas UDFs (Arrow
+batch transfer, regexes compiled once per executor at module import —
+the Spark analog of the reference precompiling patterns in ``__init__``,
+``/root/reference/docstrange/result.py:19-29,362-371``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from docstrange_spark.kernels import mdcsv, mdhtml, mdjson
+
+
+@pandas_udf("string")
+def md_to_html_body(md: pd.Series) -> pd.Series:
+    return md.fillna("").map(mdhtml.markdown_to_html_body)
+
+
+@pandas_udf("string")
+def md_to_html_page(md: pd.Series) -> pd.Series:
+    return md.fillna("").map(mdhtml.markdown_to_html_page)
+
+
+@pandas_udf("string")
+def md_to_json(md: pd.Series) -> pd.Series:
+    return md.fillna("").map(
+        lambda m: json.dumps(mdjson.extract_data(m), ensure_ascii=False, sort_keys=True)
+    )
+
+
+@pandas_udf("string")
+def md_to_csv(md: pd.Series) -> pd.Series:
+    return md.fillna("").map(mdcsv.markdown_to_csv)
+
+
+# structured (typed) metadata — lets downstream queries stay relational
+META_SCHEMA = (
+    "struct<total_sections:int, max_heading_level:int, has_tables:boolean, "
+    "has_code_blocks:boolean, has_lists:boolean, has_images:boolean>"
+)
+
+
+@pandas_udf(META_SCHEMA)
+def md_doc_metadata(md: pd.Series) -> pd.DataFrame:
+    rows = []
+    for m in md.fillna(""):
+        meta = mdjson.parse_markdown(m)["document"]["metadata"]
+        rows.append(
+            {
+                "total_sections": meta["total_sections"],
+                "max_heading_level": meta.get("max_heading_level", 0),
+                "has_tables": meta.get("has_tables", False),
+                "has_code_blocks": meta.get("has_code_blocks", False),
+                "has_lists": meta.get("has_lists", False),
+                "has_images": meta.get("has_images", False),
+            }
+        )
+    return pd.DataFrame(rows, columns=[
+        "total_sections", "max_heading_level", "has_tables",
+        "has_code_blocks", "has_lists", "has_images",
+    ])
+
+
+def with_renditions(extracted: DataFrame, formats: tuple[str, ...] = ("html", "json", "csv")) -> DataFrame:
+    """Attach rendition columns to an extracted DataFrame. ``markdown``
+    and ``text`` are identity renditions (reference R1/R2)."""
+    out = extracted
+    if "html" in formats:
+        out = out.withColumn("html", md_to_html_page(F.col("markdown")))
+    if "json" in formats:
+        out = out.withColumn("json", md_to_json(F.col("markdown")))
+    if "csv" in formats:
+        out = out.withColumn("csv", md_to_csv(F.col("markdown")))
+    if "meta" in formats:
+        out = out.withColumn("doc_meta", md_doc_metadata(F.col("markdown")))
+    return out
+
+
+def combine_documents(extracted: DataFrame, fmt: str = "markdown") -> DataFrame:
+    """Multi-document combination, the CLI's multi-file output
+    (``/root/reference/docstrange/cli.py:488-538``): markdown joined with
+    ``\\n\\n---\\n\\n``, html with ``<hr>``; returns a 1-row DataFrame.
+    Deterministic: documents ordered by doc_id."""
+    sep = "\n\n---\n\n" if fmt == "markdown" else "\n<hr>\n"
+    col = "markdown" if fmt == "markdown" else fmt
+    # array_sort on (doc_id, payload) structs gives a deterministic join
+    # order regardless of shuffle arrival order
+    return extracted.select("doc_id", F.col(col).alias("payload")).agg(
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(array_sort(collect_list(struct(doc_id, payload))),"
+                " x -> x.payload)"
+            ),
+        ).alias("combined"),
+        F.count("*").alias("count"),
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the engine's workload shape: fat array rows (span arrays) moving
+through Arrow into pandas kernels, plus ordinary relational fringes.
+The same config block is what we would ship to a real cluster via
+``spark-submit --py-files``; only ``master`` differs (local[N] here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Span arrays are fat (hundreds of structs per row): keep Arrow batches
+# small so a batch of mega-documents cannot blow executor memory.
+# (Reference processes one doc at a time — /root/reference/docstrange/
+# extractor.py:200-225 — so it never faces this; we do.)
+ARROW_MAX_RECORDS = 256
+
+
+def get_spark(
+    app_name: str = "docstrange_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32. On a real cluster the
+    builder would omit ``master`` and inherit it from spark-submit.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS),
+        )
+        # documents are self-contained: nothing gained from huge scan splits
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
