@@ -98,6 +98,8 @@ def sections_relational(
         F.col("end_line").cast("int"),
         F.floor(F.length("content") / 4).cast("int").alias("token_count"),
     )
+    # an exactly-empty document yields no section at all (kernel:
+    # ``if not sections and markdown_content``), hence the length guard
     headerless = (
         secs.where(F.col("n_headers") == 0)
         .groupBy("doc_id")
@@ -112,6 +114,7 @@ def sections_relational(
             F.min("start_line").alias("start_line"),
             F.max("end_line").alias("end_line"),
         )
+        .where(F.length("content") > 0)
         .select(
             "doc_id",
             F.lit(0).alias("section_idx"),

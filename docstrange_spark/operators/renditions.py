@@ -14,36 +14,52 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from docstrange_spark.kernels import mdcsv, mdhtml, mdjson
 
+# DataType instances (not DDL strings) so the UDFs are definable at module
+# import, before any SparkSession exists on the worker driver
 
-@pandas_udf("string")
+
+@pandas_udf(StringType())
 def md_to_html_body(md: pd.Series) -> pd.Series:
     return md.fillna("").map(mdhtml.markdown_to_html_body)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def md_to_html_page(md: pd.Series) -> pd.Series:
     return md.fillna("").map(mdhtml.markdown_to_html_page)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def md_to_json(md: pd.Series) -> pd.Series:
     return md.fillna("").map(
         lambda m: json.dumps(mdjson.extract_data(m), ensure_ascii=False, sort_keys=True)
     )
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def md_to_csv(md: pd.Series) -> pd.Series:
     return md.fillna("").map(mdcsv.markdown_to_csv)
 
 
 # structured (typed) metadata — lets downstream queries stay relational
-META_SCHEMA = (
-    "struct<total_sections:int, max_heading_level:int, has_tables:boolean, "
-    "has_code_blocks:boolean, has_lists:boolean, has_images:boolean>"
+META_SCHEMA = StructType(
+    [
+        StructField("total_sections", IntegerType()),
+        StructField("max_heading_level", IntegerType()),
+        StructField("has_tables", BooleanType()),
+        StructField("has_code_blocks", BooleanType()),
+        StructField("has_lists", BooleanType()),
+        StructField("has_images", BooleanType()),
+    ]
 )
 
 
