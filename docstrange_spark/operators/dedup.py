@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Built for web-corpus scale: every stage is relational (codegen'd JVM
+expressions, shuffle only on the grouping keys) and cross-engine
+deterministic — hashes are md5-hex (identical in Spark and DuckDB), so
+the DuckDB oracle can verify every query bit-for-bit. At 100 TB the same
+plans hold: shingle explosion is map-side, signatures aggregate with
+partial (map-side combine) min/sum, and the LSH band join replaces the
+quadratic all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8  # 8 hash functions -> 4 bands × 2 rows (LSH)
+LSH_BANDS = 4
+
+
+def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized text. Map-side partial
+    aggregation keeps the shuffle at one row per distinct hash."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles, exploded: (doc_id, shingle). Generated fully
+    inside codegen (split + sequence + transform), no UDF."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """MinHash signature per document: k hash functions realized as
+    ``min(md5(i || '|' || shingle))`` (lexicographic min over hex — engine
+    portable). Wide layout mh0..mh{k-1}; one shuffle on doc_id with
+    map-side partial mins."""
+    sh = shingles(df, id_col, text_col).select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return sh.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_bands(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> DataFrame:
+    """Band hashes from a wide signature frame: (doc_id, band, band_hash).
+    Documents sharing any (band, band_hash) are near-dup candidates."""
+    rows_per_band = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-duplicate candidate pairs via the banded self-join
+    (distinct doc1 < doc2). The join key (band, band_hash) bounds the
+    comparison set — the scale path that replaces O(n²) similarity."""
+    b = lsh_bands(minhash_signatures(df, id_col, text_col))
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs: distinct
+    shingle sets joined through the pair list; broadcast the pair list
+    when small."""
+    sh = shingles(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, (pairs["doc_b"] == b["doc_b"]) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", pairs["doc_b"].alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, engine-portable arithmetic)
+
+_HEX = "0123456789abcdef"
+
+
+def _hexval(c):
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word tokens. The per-token hash value is the
+    first 4 hex chars of md5 decoded with portable string arithmetic
+    (instr on a hex alphabet), so DuckDB reproduces it exactly. One
+    shuffle; 16 conditional sums with map-side partials."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    t = df.select(F.col(id_col).alias("doc_id"), toks)
+    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
+    val = (
+        _hexval(F.substring(h4, 1, 1)) * 4096
+        + _hexval(F.substring(h4, 2, 1)) * 256
+        + _hexval(F.substring(h4, 3, 1)) * 16
+        + _hexval(F.substring(h4, 4, 1))
+    )
+    v = t.select("doc_id", val.alias("v"))
+    bit_sums = [
+        F.sum(
+            F.when(F.floor(F.col("v") / (2**b)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = v.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

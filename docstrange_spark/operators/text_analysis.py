@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All purely relational (built-in ``pyspark.sql.functions`` only — zero
+Python in the hot path, whole-stage-codegen friendly) and expressed so a
+DuckDB oracle can compute identical results (portable string ops, md5,
+no engine-specific hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+# tiny deterministic marker lexicons for the language-ID heuristic
+# (n-gram/stopword scoring — the public-knowledge approach; real corpora
+# would use larger tables, the plan shape is identical)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + the reference's ``len//4`` token estimate
+    (mcp server.py:86-87) + char count."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens_ws"),
+        F.floor(F.length(text_col) / 4).cast("long").alias("n_tokens_est"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: token count, mean word length,
+    stopword ratio, punctuation ratio, and a composite keep-score."""
+    toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    n_chars = F.length(text_col)
+    mean_word_len = (n_chars - (n_toks - 1)) / n_toks
+    stop_ratio = stop_hits / n_toks
+    punct_ratio = n_punct / n_chars
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(
+            F.when(n_toks < 5, 0.0).otherwise(
+                F.least(F.lit(1.0), stop_ratio * 2 + F.lit(0.5))
+                - F.when(punct_ratio > 0.2, 0.5).otherwise(0.0)
+            ),
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language scoring: argmax over per-language stopword
+    hit counts; ties and zero scores resolve to 'und'. Deterministic
+    tie-break by language code order."""
+    toks = _tokens(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda w: w.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col).alias("doc_id"), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    guess = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"), best.alias("best_score"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over case-/whitespace-normalized text —
+    the exact-dup key; plus a coarse 64-char prefix fingerprint for
+    prefix-dup detection."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+    )

@@ -1,0 +1,170 @@
+"""Dedup / similarity / text-analysis / multimodal / manifest operators
+over the driver's sf0.001 tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docstrange_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    spanize,
+    text_analysis,
+)
+from docstrange_spark.operators import extract as ex
+from docstrange_spark.sources import manifest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_groups(documents):
+    g = dedup.exact_groups(documents)
+    total = g.agg(F.sum("dup_count")).collect()[0][0]
+    assert total == documents.count()
+
+
+def test_minhash_and_lsh(documents):
+    sample = documents.limit(200)
+    sigs = dedup.minhash_signatures(sample)
+    row = sigs.first()
+    assert all(len(row[f"mh{i}"]) == 32 for i in range(dedup.MINHASH_K))
+    bands = dedup.lsh_bands(sigs)
+    assert bands.count() == sigs.count() * dedup.LSH_BANDS
+    pairs = dedup.lsh_candidate_pairs(sample)
+    for p in pairs.limit(5).collect():
+        assert p["doc_a"] < p["doc_b"]
+
+
+def test_jaccard_identical_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different sentence with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, pairs).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_close_for_similar(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(df).collect()}
+    d12 = bin(sims[1] ^ sims[2]).count("1")
+    d13 = bin(sims[1] ^ sims[3]).count("1")
+    assert d12 < d13
+    assert 0 <= sims[1] < 2**16
+
+
+def test_knn_bruteforce(embeddings):
+    out = similarity.knn_bruteforce(embeddings, [0, 1], top_k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_knn_lsh_subset_of_bruteforce(embeddings):
+    exact = similarity.knn_bruteforce(embeddings, [0], top_k=3).collect()
+    approx = similarity.knn_lsh(embeddings, [0], top_k=3, n_planes=4).collect()
+    # LSH neighbors come from the query's own bucket — results must be a
+    # plausible (possibly shorter) ranked list with valid cosines
+    assert len(approx) <= 3
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in approx)
+    assert exact  # sanity
+
+
+def test_text_analysis(documents):
+    stats = text_analysis.token_stats(documents)
+    r = stats.first()
+    assert r["n_tokens_ws"] > 0 and r["n_tokens_est"] == r["n_chars"] // 4
+    q = text_analysis.quality_score(documents.limit(50)).collect()
+    assert all(0 <= row["stopword_ratio"] <= 1 for row in q)
+    lang = text_analysis.lang_id(documents.limit(50)).collect()
+    assert all(row["lang_guess"] in (list(text_analysis.LANG_MARKERS) + ["und"]) for row in lang)
+    fp = text_analysis.fingerprint(documents.limit(10)).first()
+    assert len(fp["fp_full"]) == 32
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(f"m{i}", "image", bytes([i] * (10 + i)), {"w": "64"}) for i in range(5)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA_DDL)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] >= 10
+    # strict mode raises (decode libs absent by design)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).collect()
+    frames = multimodal.frame_sample_plan(media.select("media_ref"), every_n=10)
+    assert frames.count() >= 5
+
+
+def test_spanize_and_extract(documents, spark):
+    spans = spanize.spanize(documents.limit(20))
+    out = ex.extract(spans, salt=False)
+    rows = out.collect()
+    assert len(rows) == 20
+    md = rows[0]["markdown"]
+    assert md.startswith("# ")
+    assert "## Part 1" in md
+
+
+def test_manifest_resume(spark, documents, tmp_path):
+    out_dir = str(tmp_path / "resumable")
+    spans = spanize.spanize(documents.limit(64))
+    snap = manifest.snapshot_id_of(SF_DIR)
+
+    def process(df):
+        return ex.extract(df, salt=False).select("doc_id", "markdown", "n_blocks")
+
+    # first run: only the first wave commits (simulate kill via n_buckets
+    # slicing: run with a restricted bucket list by monkey wave_size)
+    full = manifest.process_resumable(
+        spans, out_dir, process, snap, n_buckets=8, wave_size=3
+    )
+    assert sorted(full["processed_buckets"]) == list(range(8))
+
+    # rerun: everything already committed -> nothing reprocessed
+    again = manifest.process_resumable(
+        spans, out_dir, process, snap, n_buckets=8, wave_size=3
+    )
+    assert again["processed_buckets"] == []
+    assert sorted(again["skipped_buckets"]) == list(range(8))
+
+    got = manifest.read_output(spark, out_dir)
+    assert got.count() == 64
+    m = manifest.manifest_summary(spark, out_dir)
+    assert m.select("bucket").distinct().count() == 8
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 64
