@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (the rest get the driver's rows-only check:
+chunking N4, hierarchy N3, the fixture-profile pipeline, LSH-ANN, and
+the rendition kernels R3-R5 — inherently non-relational string parsers).
+
+Cross-engine determinism notes: all hashes are md5-hex (identical in
+both engines); float outputs are rounded before ranking/compare; counts
+are cast to long/bigint on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,693 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N = "\n"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docstrange_spark.operators import extract, spanize
+
+    return extract.extract(spanize.spanize(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: spanize -> extract -> renditions + navigation join
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full extraction pipeline
+    with structured metadata and section stats per document."""
+    from docstrange_spark.operators import navigation, renditions
+
+    ex = _extracted(spark, "/root/testdata/sf0.001")
+    with_meta = renditions.with_renditions(ex, formats=("json", "meta"))
+    secs = navigation.sections_relational(ex.select("doc_id", "markdown"))
+    info = navigation.doc_info_relational(secs)
+    return (
+        with_meta.join(info, "doc_id")
+        .select(
+            "doc_id",
+            "profile",
+            "n_blocks",
+            F.col("doc_meta.total_sections").alias("total_sections"),
+            F.col("doc_meta.max_heading_level").alias("max_heading_level"),
+            "n_sections",
+            "total_tokens",
+            navigation.recommendation_col("total_tokens").alias("recommendation"),
+            F.md5("markdown").alias("markdown_hash"),
+            F.md5("json").alias("json_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from docstrange_spark import datagen
+    from docstrange_spark.operators import (
+        dedup,
+        extract,
+        navigation,
+        renditions,
+        similarity,
+        spanize,
+        text_analysis,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_extract_markdown(spark, sf_dir):
+        return _extracted(spark, sf_dir).select("doc_id", "markdown")
+
+    def q_extract_sections(spark, sf_dir):
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        return navigation.sections_relational(md).select(
+            "doc_id", "section_idx", "level", "title", "content",
+            "start_line", "end_line", "token_count",
+        )
+
+    def q_doc_info(spark, sf_dir):
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        secs = navigation.sections_relational(md)
+        info = navigation.doc_info_relational(secs)
+        return info.select(
+            "doc_id",
+            "n_sections",
+            F.col("min_tokens").cast("long"),
+            F.col("max_tokens").cast("long"),
+            F.round("avg_tokens", 4).alias("avg_tokens"),
+            F.col("total_tokens").cast("long"),
+            navigation.recommendation_col("total_tokens").alias("recommendation"),
+        )
+
+    def q_section_summaries(spark, sf_dir):
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        secs = navigation.sections_relational(md)
+        return secs.select(
+            "doc_id",
+            "section_idx",
+            navigation.section_summary_col("content", 120).alias("summary"),
+        )
+
+    def q_search(spark, sf_dir):
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        return navigation.search_relational(md, "query").select(
+            "doc_id", "line_number", "line_content", "section", "context"
+        )
+
+    def q_doc_metadata(spark, sf_dir):
+        ex = _extracted(spark, sf_dir)
+        out = renditions.with_renditions(ex, formats=("meta",))
+        return out.select(
+            "doc_id",
+            F.col("doc_meta.total_sections").cast("long").alias("total_sections"),
+            F.col("doc_meta.max_heading_level").cast("long").alias("max_heading_level"),
+            F.col("doc_meta.has_tables").alias("has_tables"),
+            F.col("doc_meta.has_lists").alias("has_lists"),
+        )
+
+    def q_reading_order(spark, sf_dir):
+        # O5 as a relational op: explode spans, per-doc ordinal by offset
+        from pyspark.sql import Window
+
+        spans = spanize.spanize(_docs(spark, sf_dir))
+        flat = spans.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select("doc_id", F.col("s.kind").alias("kind"),
+                 F.col("s.text").alias("text"), F.col("s.offset").alias("offset"))
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        return flat.select(
+            "doc_id", "kind", "text",
+            F.row_number().over(w).cast("long").alias("reading_pos"),
+        )
+
+    # -- dedup ------------------------------------------------------------
+    def q_dedup_exact(spark, sf_dir):
+        return dedup.exact_groups(_docs(spark, sf_dir))
+
+    def q_minhash_signatures(spark, sf_dir):
+        return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+    def q_lsh_bands(spark, sf_dir):
+        sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+        return dedup.lsh_bands(sigs).select(
+            "doc_id", F.col("band").cast("long").alias("band"), "band_hash"
+        )
+
+    def q_lsh_pairs(spark, sf_dir):
+        return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+    def q_jaccard_sample(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        a = docs.select(F.col("doc_id").alias("doc_a")).where(
+            F.col("doc_a") % 97 == 0
+        )
+        b = docs.select(F.col("doc_id").alias("doc_b"))
+        pairs = a.join(b, a["doc_a"] + 1 == b["doc_b"])
+        return dedup.jaccard_pairs(docs, pairs)
+
+    def q_simhash(spark, sf_dir):
+        return dedup.simhash16(_docs(spark, sf_dir))
+
+    # -- text analysis ----------------------------------------------------
+    def q_token_stats(spark, sf_dir):
+        return text_analysis.token_stats(_docs(spark, sf_dir))
+
+    def q_quality(spark, sf_dir):
+        return text_analysis.quality_score(_docs(spark, sf_dir))
+
+    def q_lang_id(spark, sf_dir):
+        return text_analysis.lang_id(_docs(spark, sf_dir))
+
+    def q_fingerprint(spark, sf_dir):
+        return text_analysis.fingerprint(_docs(spark, sf_dir))
+
+    def q_lang_stats(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                F.sum(F.floor(F.length("text") / 4)).cast("long").alias("est_tokens"),
+            )
+        )
+
+    # -- similarity -------------------------------------------------------
+    def q_knn_bruteforce(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.knn_bruteforce(emb, [0, 1, 2, 3, 4], top_k=10).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+        )
+
+    def q_knn_lsh(spark, sf_dir):  # rows-only: seeded hyperplanes
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.knn_lsh(emb, [0, 1, 2, 3, 4], top_k=10)
+
+    # -- relational engine breadth ---------------------------------------
+    def q_lineitem_pricing(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def q_top_customers(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        rev = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_lineitems"),
+            )
+        )
+        return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+    def q_events_by_user(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        with_prev = ev.withColumn("prev_type", F.lag("event_type").over(w))
+        return with_prev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.when(F.col("prev_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_after_click"),
+        )
+
+    # -- kernel-path pipeline (rows-only checks) --------------------------
+    def q_fixture_pipeline(spark, sf_dir):
+        spans = datagen.fixture_spans(spark)
+        out = extract.extract(spans)
+        return out.select(
+            "doc_id", "profile", "n_blocks", F.md5("markdown").alias("markdown_hash")
+        ).orderBy("doc_id")
+
+    def q_renditions(spark, sf_dir):
+        ex = _extracted(spark, sf_dir)
+        out = renditions.with_renditions(ex, formats=("html", "json", "csv"))
+        return out.select(
+            "doc_id",
+            F.md5("html").alias("html_hash"),
+            F.md5("json").alias("json_hash"),
+            F.md5("csv").alias("csv_hash"),
+            F.length("html").cast("long").alias("html_len"),
+        )
+
+    def q_chunks(spark, sf_dir):
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        return navigation.chunks_kernel(md, max_tokens=120).drop("titles")
+
+    def q_hierarchy(spark, sf_dir):
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        return navigation.hierarchy_kernel(md)
+
+    return {
+        "extract_markdown": q_extract_markdown,
+        "extract_sections": q_extract_sections,
+        "doc_info": q_doc_info,
+        "section_summaries": q_section_summaries,
+        "search": q_search,
+        "doc_metadata": q_doc_metadata,
+        "reading_order": q_reading_order,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_bands": q_lsh_bands,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_sample": q_jaccard_sample,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "lang_stats": q_lang_stats,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "lineitem_pricing": q_lineitem_pricing,
+        "top_customers": q_top_customers,
+        "events_by_user": q_events_by_user,
+        "fixture_pipeline": q_fixture_pipeline,
+        "renditions": q_renditions,
+        "chunks": q_chunks,
+        "hierarchy": q_hierarchy,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+
+# shared CTE: rebuild the spanizer+extractor markdown from documents
+MD_CTE = r"""
+WITH t AS (
+  SELECT 'doc-' || doc_id AS doc_id, string_split(coalesce(text,''), ' ') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks, array_to_string(toks[1:3], ' ') AS title,
+         greatest(len(toks) - 3, 0) AS n_body
+  FROM t
+),
+paras AS (
+  SELECT doc_id, i,
+         array_to_string(toks[4 + 12*i : least(3 + 12*(i+1), len(toks))], ' ') AS para
+  FROM base, unnest(generate_series(0, CAST(ceil(n_body / 12.0) AS INT) - 1)) AS u(i)
+  WHERE n_body > 0
+),
+mblocks AS (
+  SELECT doc_id, i,
+         CASE WHEN i % 3 = 0
+              THEN '## Part ' || (i // 3 + 1) || chr(10) || chr(10) || para
+              ELSE para END AS block
+  FROM paras
+),
+bodies AS (
+  SELECT doc_id, string_agg(block, chr(10) || chr(10) ORDER BY i) AS body
+  FROM mblocks GROUP BY doc_id
+),
+md AS (
+  SELECT b.doc_id,
+         '# ' || b.title ||
+         CASE WHEN bo.body IS NULL THEN '' ELSE chr(10) || chr(10) || bo.body END
+         AS markdown
+  FROM base b LEFT JOIN bodies bo USING (doc_id)
+)
+"""
+
+# shared CTE suffix: MCP-semantics section split over md(doc_id, markdown)
+SECTIONS_CTE = r""",
+mlines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS line_no, lns[i] AS line
+  FROM (SELECT doc_id, string_split(markdown, chr(10)) AS lns FROM md),
+       unnest(generate_series(1, len(lns))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN regexp_matches(line, '^#{1,6}\s+.+$') THEN 1 ELSE 0 END AS is_header
+  FROM mlines
+),
+mseq AS (
+  SELECT *, SUM(is_header) OVER (PARTITION BY doc_id ORDER BY line_no) AS sec_seq
+  FROM marked
+),
+sections AS (
+  SELECT doc_id,
+         CAST(sec_seq - 1 AS INT) AS section_idx,
+         CAST(length(regexp_extract(min(CASE WHEN is_header = 1 THEN line END),
+                                    '^(#{1,6})\s', 1)) AS INT) AS level,
+         trim(regexp_extract(min(CASE WHEN is_header = 1 THEN line END),
+                             '^#{1,6}\s+(.+)$', 1)) AS title,
+         string_agg(line, chr(10) ORDER BY line_no) AS content,
+         CAST(min(line_no) AS INT) AS start_line,
+         CAST(max(line_no) AS INT) AS end_line,
+         CAST(floor(length(string_agg(line, chr(10) ORDER BY line_no)) / 4) AS INT)
+           AS token_count
+  FROM mseq
+  WHERE sec_seq >= 1
+  GROUP BY doc_id, sec_seq
+)
+"""
+
+# shared shingle CTE over documents
+SHINGLE_CTE = r"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+)
+"""
+
+_MINHASH_MINS = ",\n  ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
+)
+
+_SIG_CTE = (
+    SHINGLE_CTE
+    + f", sigs AS (SELECT doc_id,\n  {_MINHASH_MINS}\n  FROM sh GROUP BY doc_id)"
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
+    f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sigs"
+    for b in range(4)
+)
+
+_HEXV = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+_SIMHASH_VAL = (
+    f"{_HEXV.format(p=1)} * 4096 + {_HEXV.format(p=2)} * 256 + "
+    f"{_HEXV.format(p=3)} * 16 + {_HEXV.format(p=4)}"
+)
+_SIMHASH_SUMS = ",\n  ".join(
+    f"sum(CASE WHEN CAST(floor(v / {2 ** b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+)
+
+_STOP = "('the','and','of','to','a','in','is','it','for','on')"
+_LANGS = {
+    "en": "('the','and','of','is')",
+    "es": "('el','la','de','que')",
+    "fr": "('le','la','et','les')",
+    "de": "('der','die','und','das')",
+    "zh": "('de','shi','le','bu')",
+}
+_LANG_SCORES = ",\n  ".join(
+    f"len(list_filter(toks, x -> x IN {m})) AS score_{l}" for l, m in _LANGS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"score_{l}" for l in _LANGS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN score_{l} = best AND best > 0 THEN '{l}'" for l in _LANGS
+    )
+    + " ELSE 'und' END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_markdown": MD_CTE + "SELECT doc_id, markdown FROM md",
+        "extract_sections": (
+            MD_CTE
+            + SECTIONS_CTE
+            + "SELECT doc_id, section_idx, level, title, content, start_line, "
+            "end_line, token_count FROM sections"
+        ),
+        "doc_info": (
+            MD_CTE
+            + SECTIONS_CTE
+            + """
+SELECT doc_id,
+       count(*) AS n_sections,
+       CAST(min(token_count) AS BIGINT) AS min_tokens,
+       CAST(max(token_count) AS BIGINT) AS max_tokens,
+       round(avg(token_count), 4) AS avg_tokens,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
+       CASE WHEN sum(token_count) < 8000 THEN 'full_document'
+            WHEN sum(token_count) < 32000 THEN 'full_document_or_chunked'
+            WHEN sum(token_count) < 128000 THEN 'chunked_processing'
+            ELSE 'hierarchical_navigation' END AS recommendation
+FROM sections GROUP BY doc_id"""
+        ),
+        "section_summaries": (
+            MD_CTE
+            + SECTIONS_CTE
+            + """
+SELECT doc_id, section_idx,
+       CASE WHEN length(trim(content)) <= 120 THEN trim(content)
+            ELSE substr(trim(content), 1, 120) || '...' END AS summary
+FROM sections"""
+        ),
+        "search": (
+            MD_CTE
+            + SECTIONS_CTE
+            + r""",
+ctx AS (
+  SELECT doc_id, line_no, line,
+         string_agg(line, chr(10))
+           OVER (PARTITION BY doc_id ORDER BY line_no
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS context
+  FROM mlines
+)
+SELECT c.doc_id,
+       CAST(c.line_no + 1 AS BIGINT) AS line_number,
+       c.line AS line_content,
+       coalesce(s.title, 'Unknown Section') AS section,
+       c.context
+FROM ctx c
+LEFT JOIN sections s
+  ON s.doc_id = c.doc_id AND c.line_no BETWEEN s.start_line AND s.end_line
+WHERE strpos(lower(c.line), 'query') > 0"""
+        ),
+        "doc_metadata": (
+            MD_CTE
+            + SECTIONS_CTE
+            + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total_sections,
+       CAST(max(level) AS BIGINT) AS max_heading_level,
+       false AS has_tables,
+       false AS has_lists
+FROM sections GROUP BY doc_id"""
+        ),
+        "reading_order": (
+            MD_CTE
+            + r""",
+spans AS (
+  SELECT doc_id, 'heading' AS kind, title AS text, 0 AS ord FROM base
+  UNION ALL
+  SELECT doc_id, 'heading', 'Part ' || (i // 3 + 1),
+         i + (i // 3) + 1 FROM paras WHERE i % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'text', para, i + (i // 3) + 2
+  FROM paras
+)
+SELECT doc_id, kind, text,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS BIGINT)
+         AS reading_pos
+FROM spans"""
+        ),
+        "dedup_exact": r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+       count(*) AS dup_count,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1""",
+        "minhash_signatures": _SIG_CTE + "\nSELECT * FROM sigs",
+        "lsh_bands": _SIG_CTE + ",\nbands AS (" + _BANDS_SQL + ")\nSELECT * FROM bands",
+        "lsh_pairs": (
+            _SIG_CTE
+            + ",\nbands AS ("
+            + _BANDS_SQL
+            + """)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"""
+        ),
+        "jaccard_sample": (
+            SHINGLE_CTE
+            + r""",
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 97 = 0
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM prs p
+  JOIN dsh x ON x.doc_id = p.doc_a
+  JOIN dsh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(coalesce(i.n_inter, 0) * 1.0 /
+             (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM prs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b"""
+        ),
+        "simhash": (
+            r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+v AS (SELECT doc_id, """
+            + _SIMHASH_VAL
+            + """ AS v FROM tok),
+s AS (SELECT doc_id, """
+            + _SIMHASH_SUMS
+            + """ FROM v GROUP BY doc_id)
+SELECT doc_id, CAST("""
+            + _SIMHASH_BITS
+            + """ AS BIGINT) AS simhash FROM s"""
+        ),
+        "token_stats": r"""
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens_ws,
+       CAST(floor(length(text) / 4) AS BIGINT) AS n_tokens_est,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents""",
+        "quality": (
+            r"""
+WITH q AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         len(list_filter(toks, x -> x IN """
+            + _STOP
+            + r""")) AS stop_hits,
+         n_chars, n_punct
+  FROM q
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       round((n_chars - (n_toks - 1)) * 1.0 / n_toks, 4) AS mean_word_len,
+       round(stop_hits * 1.0 / n_toks, 4) AS stopword_ratio,
+       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+       round(CASE WHEN n_toks < 5 THEN 0.0
+             ELSE least(1.0, (stop_hits * 1.0 / n_toks) * 2 + 0.5)
+                  - CASE WHEN n_punct * 1.0 / n_chars > 0.2 THEN 0.5 ELSE 0.0 END
+             END, 4) AS quality
+FROM m"""
+        ),
+        "lang_id": (
+            r"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, """
+            + _LANG_SCORES
+            + """ FROM t),
+b AS (SELECT *, """
+            + _LANG_BEST
+            + """ AS best FROM s)
+SELECT doc_id, """
+            + _LANG_CASE
+            + """ AS lang_guess, CAST(best AS BIGINT) AS best_score FROM b"""
+        ),
+        "fingerprint": r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_full,
+       md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)) AS fp_prefix64
+FROM documents""",
+        "lang_stats": r"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(CAST(floor(length(text) / 4) AS BIGINT)) AS BIGINT) AS est_tokens
+FROM documents GROUP BY lang""",
+        "knn_bruteforce": r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round(dot / (qn.nrm * nn.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = qid
+  JOIN norms nn ON nn.vec_id = nid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+        "lineitem_pricing": r"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": r"""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10""",
+        "events_by_user": r"""
+WITH w AS (
+  SELECT user_id, event_type, value,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 2) AS total_value,
+       CAST(sum(CASE WHEN prev_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_click
+FROM w GROUP BY user_id""",
+    }

@@ -36,7 +36,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     toks = _tokens(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens_ws"),
+        F.size(toks).cast("long").alias("n_tokens_ws"),
         F.floor(F.length(text_col) / 4).cast("long").alias("n_tokens_est"),
         F.length(text_col).cast("long").alias("n_chars"),
     )
@@ -55,7 +55,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     punct_ratio = n_punct / n_chars
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_toks.alias("n_tokens"),
+        n_toks.cast("long").alias("n_tokens"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
@@ -87,7 +87,9 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         guess = F.when(
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(guess)
-    return scored.select("doc_id", guess.alias("lang_guess"), best.alias("best_score"))
+    return scored.select(
+        "doc_id", guess.alias("lang_guess"), best.cast("long").alias("best_score")
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

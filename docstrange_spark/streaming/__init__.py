@@ -1,0 +1,49 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is strictly batch (one-shot per document); a web-scale
+deployment ingests continuously, so the engine exposes the same kernel
+as a streaming stage: ``readStream`` over the span table directory ->
+``mapInPandas`` extract -> sink. The kernel is stateless per document,
+so no watermark/state is needed for extraction itself; the manifest
+layer covers replay (exactly-once via file-sink transaction log +
+checkpointLocation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from docstrange_spark.datagen import SPAN_SCHEMA_DDL
+from docstrange_spark.operators.extract import EXTRACT_SCHEMA, _extract_kernel
+
+
+def read_span_stream(spark: SparkSession, path: str, max_files: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(SPAN_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def extract_stream(stream_df: DataFrame) -> DataFrame:
+    """Streaming extraction: same kernel, streaming plan. Salting is a
+    no-op in micro-batch mode (each batch is already file-bounded)."""
+    return stream_df.select("doc_id", "spans").mapInPandas(
+        _extract_kernel, schema=EXTRACT_SCHEMA
+    )
+
+
+def run_to_parquet(
+    extracted: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
+):
+    """Write the stream to parquet with exactly-once file-sink semantics;
+    ``available_now`` drains what exists and stops (test/backfill mode)."""
+    w = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
