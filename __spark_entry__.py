@@ -118,6 +118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "line_number", "line_content", "section", "context"
         )
 
+    def q_section_by_title(spark, sf_dir):
+        # N8: case-insensitive title equality scan
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        secs = navigation.sections_relational(md)
+        return secs.where(F.lower(F.col("title")) == "part 2").select(
+            "doc_id", "section_idx", "level", "start_line", "end_line"
+        )
+
     def q_doc_metadata(spark, sf_dir):
         ex = _extracted(spark, sf_dir)
         out = renditions.with_renditions(ex, formats=("meta",))
@@ -288,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sections": q_extract_sections,
         "doc_info": q_doc_info,
         "section_summaries": q_section_summaries,
+        "section_by_title": q_section_by_title,
         "search": q_search,
         "doc_metadata": q_doc_metadata,
         "reading_order": q_reading_order,
@@ -482,6 +491,13 @@ SELECT doc_id, section_idx,
             ELSE substr(trim(content), 1, 120) || '...' END AS summary
 FROM sections"""
         ),
+        "section_by_title": (
+            MD_CTE
+            + SECTIONS_CTE
+            + """
+SELECT doc_id, section_idx, level, start_line, end_line
+FROM sections WHERE lower(title) = 'part 2'"""
+        ),
         "search": (
             MD_CTE
             + SECTIONS_CTE
@@ -530,6 +546,35 @@ SELECT doc_id, kind, text,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS BIGINT)
          AS reading_pos
 FROM spans"""
+        ),
+        # N4 greedy chunking is sequential per doc (accumulator resets on
+        # overflow) — relationally inexpressible, but a recursive CTE
+        # walks it: same greedy rule as the kernel (server.py:184-220)
+        "chunks": (
+            "WITH RECURSIVE "
+            + MD_CTE[len("WITH ") :]
+            + SECTIONS_CTE
+            + """,
+assign AS (
+  SELECT doc_id, section_idx, token_count AS tc, 0 AS chunk_idx,
+         token_count AS acc
+  FROM sections WHERE section_idx = 0
+  UNION ALL
+  SELECT s.doc_id, s.section_idx, s.token_count,
+         CASE WHEN a.acc + s.token_count <= 120
+              THEN a.chunk_idx ELSE a.chunk_idx + 1 END,
+         CASE WHEN a.acc + s.token_count <= 120
+              THEN a.acc + s.token_count ELSE s.token_count END
+  FROM assign a
+  JOIN sections s
+    ON s.doc_id = a.doc_id AND s.section_idx = a.section_idx + 1
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(min(section_idx) AS INT) AS start_index,
+       CAST(max(section_idx) AS INT) AS end_index,
+       CAST(sum(tc) AS INT) AS token_count
+FROM assign GROUP BY doc_id, chunk_idx"""
         ),
         "dedup_exact": r"""
 SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,

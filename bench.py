@@ -65,18 +65,27 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def run_extract(spark, spans_path: str, out_path: str) -> float:
-    """read -> salt-repartition -> extract -> json rendition -> write."""
+def run_extract(spark, spans_path: str, out_path: str, mult: int = 1) -> float:
+    """read -> salt-repartition -> extract (+fused json rendition) -> write.
+
+    ``mult`` unions the corpus with itself N times — used by the scaling
+    protocol so the measured job is long enough that per-job fixed costs
+    (scheduling, worker spin-up) don't swamp the signal; both parallelism
+    levels run the identical job."""
     from pyspark.sql import functions as F
 
-    from docstrange_spark.operators import extract, renditions
+    from docstrange_spark.operators import extract
 
     def job():
         df = spark.read.parquet(spans_path)
-        ex = extract.extract(df)
-        out = renditions.with_renditions(ex, formats=("json",)).select(
-            "doc_id", "markdown", "n_blocks", "profile", "json"
-        )
+        for i in range(mult - 1):
+            # suffix keeps the doc-class prefix (profile routing) intact
+            df = df.union(
+                spark.read.parquet(spans_path).withColumn(
+                    "doc_id", F.concat(F.col("doc_id"), F.lit(f"#r{i}"))
+                )
+            )
+        out = extract.extract(df, formats=("json",), include_spans=False)
         out.write.mode("overwrite").parquet(out_path)
         return None
 
@@ -115,7 +124,16 @@ def run_aux_queries(spark, sf_dir: str, out_path: str) -> dict[str, float]:
     return times
 
 
-def bench_at(cores: int, sf_dir: str, runs: int = 1, aux: bool = True):
+SCALING_MULT = 4  # corpus replication for the scaling pair (see run_extract)
+
+
+def bench_at(
+    cores: int,
+    sf_dir: str,
+    runs: int = 1,
+    aux: bool = True,
+    mult: int = 1,
+):
     from docstrange_spark.session import get_spark
 
     sf = sf_of(sf_dir)
@@ -124,16 +142,23 @@ def bench_at(cores: int, sf_dir: str, runs: int = 1, aux: bool = True):
     try:
         spans_path = ensure_spans(spark, sf)
         out_path = os.path.join(TMP, f"out_sf{sf}_c{cores}")
-        # warm-up (JVM/Arrow/py-worker spin-up) on a slice
-        spark.read.parquet(spans_path).limit(64).count()
+        # warm-up: run the full fused pipeline on a slice so every task
+        # slot's Python worker is spawned and has imported the kernels
+        from docstrange_spark.operators import extract as _ex
 
-        extract_secs = [run_extract(spark, spans_path, out_path) for _ in range(runs)]
+        _ex.extract(
+            spark.read.parquet(spans_path).limit(4096), formats=("json",)
+        ).write.mode("overwrite").parquet(os.path.join(TMP, "warmup"))
+
+        extract_secs = [
+            run_extract(spark, spans_path, out_path, mult=mult) for _ in range(runs)
+        ]
         extract_sec = sorted(extract_secs)[len(extract_secs) // 2]
         queries = {"extract_pipeline": round(extract_sec, 3)}
         if aux:
             for k, v in run_aux_queries(spark, sf_dir, out_path).items():
                 queries[k] = round(v, 3)
-        n = n_docs_of(sf)
+        n = n_docs_of(sf) * mult
         return {
             "cores": cores,
             "sf": sf,
@@ -146,6 +171,26 @@ def bench_at(cores: int, sf_dir: str, runs: int = 1, aux: bool = True):
         spark.stop()
 
 
+def bench_subprocess(cores: int, sf_dir: str, runs: int, mult: int) -> dict:
+    """Run one parallelism level in its own process, CPU-pinned with
+    taskset so JVM + Python workers see exactly ``cores`` CPUs — the
+    faithful N-core proxy. A fresh process per level is essential: a
+    reused py4j JVM keeps the previous level's thread affinity."""
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}", sys.executable,
+        os.path.abspath(__file__), "--one", "--cpus", str(cores),
+        "--sf-dir", sf_dir, "--runs", str(runs), "--mult", str(mult),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True, cwd=os.path.dirname(
+            os.path.abspath(__file__)
+        )
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def write_baseline_md(r8, r32, main):
     os.makedirs("BENCH", exist_ok=True)
     eff = r8["docs_per_sec"] and round(
@@ -155,13 +200,17 @@ def write_baseline_md(r8, r32, main):
         f.write(
             "# BENCH — measured baseline (this repo's engine)\n\n"
             f"Corpus: deterministic span table seed 42, sf={r8['sf']} "
-            f"({r8['n_docs']} docs, mega-doc every {MEGA_EVERY}).\n"
+            f"(scaling pair runs it x{SCALING_MULT} = {r8['n_docs']} docs so "
+            f"per-job fixed costs don't swamp the signal; mega-doc every "
+            f"{MEGA_EVERY}).\n"
             "Pipeline timed: read parquet -> salted repartition "
             "(xxhash64(doc_id)) + mega-doc routing -> mapInPandas extract "
             "kernel -> JSON rendition -> parquet write.\n\n"
+            "Both levels are CPU-affinity-pinned to their core count "
+            "(JVM + Python workers inherit it), the faithful N-core proxy.\n\n"
             "| config | extract sec | docs/sec |\n|---|---|---|\n"
-            f"| local[8] (N) | {r8['extract_sec']} | {r8['docs_per_sec']} |\n"
-            f"| local[32] (4N) | {r32['extract_sec']} | {r32['docs_per_sec']} |\n\n"
+            f"| local[8] pinned to 8 CPUs (N) | {r8['extract_sec']} | {r8['docs_per_sec']} |\n"
+            f"| local[32] on 32 CPUs (4N) | {r32['extract_sec']} | {r32['docs_per_sec']} |\n\n"
             f"**Scaling efficiency** thr_4N / (4 x thr_N) = **{eff}** "
             "(north-rule target >= 0.8; local[8] vs local[32] is the sandbox "
             "proxy for N vs 4N executors).\n\n"
@@ -182,7 +231,16 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true",
                     help="also run local[8] vs local[32] scaling protocol")
     ap.add_argument("--no-aux", action="store_true")
+    ap.add_argument("--one", action="store_true",
+                    help="internal: single pinned level, print JSON")
+    ap.add_argument("--mult", type=int, default=1)
     args = ap.parse_args()
+
+    if args.one:
+        print(json.dumps(bench_at(
+            args.cpus, args.sf_dir, runs=args.runs, aux=False, mult=args.mult
+        )))
+        return
 
     main_res = bench_at(args.cpus, args.sf_dir, runs=args.runs, aux=not args.no_aux)
     result = {
@@ -196,12 +254,8 @@ def main() -> None:
         "cores": main_res["cores"],
     }
     if args.scaling:
-        r8 = bench_at(8, args.sf_dir, runs=args.runs, aux=False)
-        r32 = (
-            main_res
-            if args.cpus == 32
-            else bench_at(32, args.sf_dir, runs=args.runs, aux=False)
-        )
+        r8 = bench_subprocess(8, args.sf_dir, args.runs, SCALING_MULT)
+        r32 = bench_subprocess(32, args.sf_dir, args.runs, SCALING_MULT)
         eff = write_baseline_md(r8, r32, main_res)
         result["scaling"] = {
             "docs_per_sec_local8": r8["docs_per_sec"],

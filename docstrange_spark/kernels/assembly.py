@@ -201,11 +201,14 @@ BLOCK_KIND_BY_SPAN = {
 }
 
 
-def assemble_batch(doc_ids: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
+def assemble_batch(
+    doc_ids: pd.Series, spans_col: pd.Series, build_spans: bool = True
+) -> pd.DataFrame:
     """Assemble a batch: returns DataFrame (doc_id, markdown, out_spans,
     n_blocks, profile) aligned with the input order. ``out_spans`` is the
     emitted block stream as a list of (kind, text, media_ref, offset)
-    dicts — the golden span-sequence surface."""
+    dicts — the golden span-sequence surface; pass ``build_spans=False``
+    to skip materializing it (throughput path)."""
     n_docs = len(doc_ids)
     classes = doc_ids.map(doc_class)
     profiles = classes.map(lambda c: PROFILE_BY_CLASS.get(c, "direct")).to_numpy()
@@ -218,9 +221,17 @@ def assemble_batch(doc_ids: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
     is_markup = flat["profile"].eq("markup")
     if is_markup.any():
         kept_parts: list[pd.DataFrame] = [flat[~is_markup]]
-        for doc_idx, grp in flat[is_markup].groupby("doc_idx", sort=False):
-            ordered = grp.sort_values("offset", kind="stable")
-            spans = ordered[["kind", "text", "media_ref", "offset"]].to_dict("records")
+        msorted = flat[is_markup].sort_values(
+            ["doc_idx", "offset"], kind="stable"
+        )
+        for doc_idx, grp in msorted.groupby("doc_idx", sort=False):
+            spans = [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in zip(
+                    grp["kind"].to_numpy(), grp["text"].to_numpy(),
+                    grp["media_ref"].to_numpy(), grp["offset"].to_numpy(),
+                )
+            ]
             title, content = boilerplate.strip_boilerplate(spans)
             rows = []
             if title:
@@ -288,22 +299,32 @@ def assemble_batch(doc_ids: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
     # -- aggregate groups into blocks: vectorized fast paths per kind ------
     out_parts: list[pd.DataFrame] = []
 
-    # fast path: blocks whose markdown is the newline-join of their lines
-    joinable = flat[flat["kind"].isin(["heading", "list_item", "blockquote", "image", "link", "page_break"]) ]
+    # singleton kinds never merge into runs: take lines directly, no groupby
+    singles = flat[flat["kind"].isin(["heading", "image", "link", "page_break"])]
+    if len(singles):
+        sg = singles[["block_id", "doc_idx", "kind", "line", "media_ref"]].rename(
+            columns={"line": "text"}
+        )
+        sg["kind"] = sg["kind"].map(BLOCK_KIND_BY_SPAN)
+        hm = sg["kind"].eq("heading")
+        if hm.any():
+            # heading block refs record the rendered level
+            sg.loc[hm, "media_ref"] = "h" + (
+                sg.loc[hm, "text"].str.extract(r"^(#+)", expand=False)
+                .str.len().astype(int).astype(str)
+            )
+        out_parts.append(sg)
+
+    # run kinds whose markdown is the newline-join of their lines
+    joinable = flat[flat["kind"].isin(["list_item", "blockquote"])]
     if len(joinable):
         agg = joinable.groupby("block_id", sort=False).agg(
             doc_idx=("doc_idx", "first"),
             kind=("kind", "first"),
             text=("line", "\n".join),
-            media_ref=("media_ref", "first"),
         )
         agg["kind"] = agg["kind"].map(BLOCK_KIND_BY_SPAN)
-        agg.loc[agg["kind"].isin(["list", "blockquote"]), "media_ref"] = ""
-        # heading block refs record the rendered level
-        hm = agg["kind"].eq("heading")
-        agg.loc[hm, "media_ref"] = agg.loc[hm, "text"].str.extract(r"^(#+)", expand=False).str.len().map(
-            lambda n: f"h{int(n)}" if pd.notna(n) else ""
-        )
+        agg["media_ref"] = ""
         out_parts.append(agg.reset_index())
 
     # direct/markup text spans: each its own paragraph block
@@ -398,21 +419,24 @@ def assemble_batch(doc_ids: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
     markdown = pd.Series([""] * n_docs, dtype=object)
     markdown.loc[md_by_doc.index] = md_by_doc.to_numpy()
 
-    spans_out: list[list[dict[str, Any]]] = [[] for _ in range(n_docs)]
-    for doc_idx, grp in all_blocks.groupby("doc_idx", sort=False):
-        spans_out[int(doc_idx)] = [
-            {"kind": k, "text": t, "media_ref": r, "offset": j}
-            for j, (k, t, r) in enumerate(
-                zip(grp["kind"], grp["text"], grp["media_ref"])
-            )
-        ]
+    counts = all_blocks.groupby("doc_idx").size()
+    n_blocks = pd.Series([0] * n_docs, dtype="int64")
+    n_blocks.loc[counts.index] = counts.to_numpy()
 
-    return pd.DataFrame(
-        {
-            "doc_id": doc_ids.reset_index(drop=True),
-            "markdown": markdown,
-            "out_spans": spans_out,
-            "n_blocks": [len(s) for s in spans_out],
-            "profile": profiles,
-        }
-    )
+    out = {
+        "doc_id": doc_ids.reset_index(drop=True),
+        "markdown": markdown,
+    }
+    if build_spans:
+        spans_out: list[list[dict[str, Any]]] = [[] for _ in range(n_docs)]
+        for doc_idx, grp in all_blocks.groupby("doc_idx", sort=False):
+            spans_out[int(doc_idx)] = [
+                {"kind": k, "text": t, "media_ref": r, "offset": j}
+                for j, (k, t, r) in enumerate(
+                    zip(grp["kind"], grp["text"], grp["media_ref"])
+                )
+            ]
+        out["out_spans"] = spans_out
+    out["n_blocks"] = n_blocks
+    out["profile"] = profiles
+    return pd.DataFrame(out)

@@ -1,23 +1,33 @@
-"""The extraction pipeline: span table -> markdown + block stream.
+"""The extraction pipeline: span table -> markdown + block stream
+(+ optionally fused renditions).
 
 Scale design (the north rule's partitioning/shuffle/skew clause):
 
-- **salted repartition by xxhash64(doc_id)**: documents are spread
-  uniformly regardless of doc_id distribution, defusing producer skew
-  (e.g. all docs of one crawl batch landing in one input file);
-- **two-tier mega-document routing**: within-row skew (one document with
-  100× the median span count) cannot be split by AQE, so documents with
-  ``size(spans) >= mega_threshold`` are routed to their own partition set
-  and processed with small Arrow batches — a straggler mega-doc then
-  costs one task, not a whole partition's worth of siblings;
-- **Arrow batching**: ``spark.sql.execution.arrow.maxRecordsPerBatch`` is
-  kept small (session.py) because span arrays are fat.
+- **salted repartition by xxhash64(doc_id)**: documents spread uniformly
+  regardless of doc_id distribution, defusing producer skew (e.g. one
+  crawl batch's docs landing in one input file);
+- **span-budget batch slicing** (in-kernel): each Arrow batch is split so
+  no kernel invocation holds more than ``MAX_BATCH_SPANS`` spans — a
+  mega-document (100× median span count) costs one small sub-batch, not
+  an OOM, at any ``maxRecordsPerBatch`` setting;
+- **optional two-tier mega routing** (``mega_threshold``): documents with
+  ``size(spans) >= threshold`` shuffle into their own partition set so a
+  straggler mega-doc occupies one task. Off by default — it costs a
+  second scan+shuffle, which only pays off when mega docs are both huge
+  (>10^5 spans) and frequent; the salted spread plus batch slicing
+  handles the common case in one exchange;
+- **fused renditions**: ``formats=("json", ...)`` computes renditions
+  inside the same Python worker as assembly. Chaining a separate pandas
+  UDF would double the Python processes per task (mapInPandas worker +
+  UDF worker), oversubscribing CPUs at high parallelism — measured 2×
+  slower at local[32] — and ships the markdown through Arrow twice.
 
-The kernel is one ``mapInPandas`` over Arrow batches — no per-row Python.
+The kernel is ``mapInPandas`` over Arrow batches — no per-row Python.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,54 +36,118 @@ from pyspark.sql import functions as F
 
 from docstrange_spark.kernels.assembly import assemble_batch
 
-EXTRACT_SCHEMA = (
+BASE_SCHEMA = (
     "doc_id string, markdown string, "
     "out_spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "n_blocks int, profile string"
 )
 
-# Docs with at least this many spans take the mega route (≈ >30× the
-# typical fixture-class span count).
-MEGA_SPAN_THRESHOLD = 2048
+RENDITION_COLS = {"json": " json string", "html": " html string", "csv": " csv string"}
+
+# max spans per kernel invocation (memory ceiling per Python worker)
+MAX_BATCH_SPANS = 1 << 17
 
 
-def _extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if len(pdf):
-            yield assemble_batch(pdf["doc_id"], pdf["spans"])
+def _slice_by_span_budget(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+    sizes = pdf["spans"].map(lambda s: len(s) if s is not None else 0)
+    if sizes.sum() <= MAX_BATCH_SPANS:
+        yield pdf
+        return
+    start = 0
+    budget = 0
+    for i, n in enumerate(sizes):
+        if budget + n > MAX_BATCH_SPANS and i > start:
+            yield pdf.iloc[start:i]
+            start, budget = i, 0
+        budget += n
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
+def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # renditions imported lazily so the worker pays only for what it uses
+        if formats:
+            from docstrange_spark.kernels import mdcsv, mdhtml, mdjson
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for chunk in _slice_by_span_budget(pdf):
+                # include_spans=False skips building AND Arrow-shipping the
+                # block stream (the fattest column) on the throughput path
+                out = assemble_batch(
+                    chunk["doc_id"], chunk["spans"], build_spans=include_spans
+                )
+                if "json" in formats:
+                    out["json"] = out["markdown"].map(
+                        lambda m: json.dumps(
+                            mdjson.extract_data(m), ensure_ascii=False, sort_keys=True
+                        )
+                    )
+                if "html" in formats:
+                    out["html"] = out["markdown"].map(mdhtml.markdown_to_html_page)
+                if "csv" in formats:
+                    out["csv"] = out["markdown"].map(mdcsv.markdown_to_csv)
+                yield out
+
+    return kernel
+
+
+# default kernel (no fused renditions) — used by the streaming module too
+_extract_kernel = _make_kernel()
+
+
+NOSPANS_SCHEMA = (
+    "doc_id string, markdown string, n_blocks int, profile string"
+)
+
+
+def _schema_for(formats: tuple[str, ...], include_spans: bool = True) -> str:
+    base = BASE_SCHEMA if include_spans else NOSPANS_SCHEMA
+    return base + "".join(
+        "," + RENDITION_COLS[f] for f in ("json", "html", "csv") if f in formats
+    )
 
 
 def extract(
     df: DataFrame,
     parallelism: int | None = None,
-    mega_threshold: int = MEGA_SPAN_THRESHOLD,
+    mega_threshold: int | None = None,
     salt: bool = True,
+    formats: tuple[str, ...] = (),
+    include_spans: bool = True,
 ) -> DataFrame:
     """Run the extraction kernel over a span table
     ``(doc_id string, spans array<struct<...>>)``.
 
-    Returns ``(doc_id, markdown, out_spans, n_blocks, profile)``.
+    Returns ``(doc_id, markdown, out_spans, n_blocks, profile[,
+    renditions...])``.
     """
     spark = df.sparkSession
     n_part = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cols = [F.col("doc_id"), F.col("spans")]
+    kernel = _make_kernel(formats, include_spans)
+    schema = _schema_for(formats, include_spans)
+    base = df.select("doc_id", "spans")
 
     if not salt:
-        return df.select(*cols).mapInPandas(_extract_kernel, schema=EXTRACT_SCHEMA)
+        return base.mapInPandas(kernel, schema=schema)
 
-    sized = df.select(*cols, F.size("spans").alias("_n_spans"))
+    if mega_threshold is None:
+        return base.repartition(n_part, F.xxhash64("doc_id")).mapInPandas(
+            kernel, schema=schema
+        )
+
+    sized = base.select("doc_id", "spans", F.size("spans").alias("_n_spans"))
     small = (
         sized.where(F.col("_n_spans") < mega_threshold)
         .repartition(n_part, F.xxhash64("doc_id"))
         .drop("_n_spans")
     )
-    # mega docs: one doc per task (repartition count scaled to keep tasks
-    # tiny); their Arrow batches hold a single row
     big = (
         sized.where(F.col("_n_spans") >= mega_threshold)
         .repartition(n_part, F.xxhash64("doc_id"))
         .drop("_n_spans")
     )
-    return small.mapInPandas(_extract_kernel, schema=EXTRACT_SCHEMA).unionByName(
-        big.mapInPandas(_extract_kernel, schema=EXTRACT_SCHEMA)
+    return small.mapInPandas(kernel, schema=schema).unionByName(
+        big.mapInPandas(kernel, schema=schema)
     )

@@ -12,11 +12,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Span arrays are fat (hundreds of structs per row): keep Arrow batches
-# small so a batch of mega-documents cannot blow executor memory.
-# (Reference processes one doc at a time — /root/reference/docstrange/
-# extractor.py:200-225 — so it never faces this; we do.)
-ARROW_MAX_RECORDS = 256
+# Span arrays are fat (hundreds of structs per row). 1024 rows/batch
+# balances per-batch Python overhead (dominant at high parallelism)
+# against memory; the extract kernel additionally slices batches by a
+# span budget so mega-documents cannot blow executor memory regardless
+# of this setting. (The reference processes one doc at a time —
+# /root/reference/docstrange/extractor.py:200-225 — so it never faces
+# this; we do.)
+ARROW_MAX_RECORDS = 1024
 
 
 def get_spark(

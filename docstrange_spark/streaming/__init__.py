@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from docstrange_spark.datagen import SPAN_SCHEMA_DDL
-from docstrange_spark.operators.extract import EXTRACT_SCHEMA, _extract_kernel
+from docstrange_spark.operators.extract import BASE_SCHEMA, _extract_kernel
 
 
 def read_span_stream(spark: SparkSession, path: str, max_files: int = 8) -> DataFrame:
@@ -29,7 +29,7 @@ def extract_stream(stream_df: DataFrame) -> DataFrame:
     """Streaming extraction: same kernel, streaming plan. Salting is a
     no-op in micro-batch mode (each batch is already file-bounded)."""
     return stream_df.select("doc_id", "spans").mapInPandas(
-        _extract_kernel, schema=EXTRACT_SCHEMA
+        _extract_kernel, schema=BASE_SCHEMA
     )
 
 

@@ -85,8 +85,9 @@ def test_parquet_pushdown_and_pruning(spark, tmp_path):
 
 
 def test_extract_plan_shape(spark):
-    """The extraction plan must show the salt exchange feeding the Python
-    kernel (hashpartitioning on xxhash64) and no extra shuffles."""
+    """Default plan: ONE salt exchange (hashpartitioning on xxhash64)
+    feeding ONE Python kernel stage; two-tier routing doubles both only
+    when explicitly requested."""
     plan = (
         extract.extract(datagen.fixture_spans(spark))
         ._jdf.queryExecution()
@@ -94,4 +95,12 @@ def test_extract_plan_shape(spark):
         .toString()
     )
     assert "xxhash64(doc_id" in plan
-    assert plan.count("MapInPandas") == 2  # small tier + mega tier
+    assert plan.count("MapInPandas") == 1
+
+    plan2 = (
+        extract.extract(datagen.fixture_spans(spark), mega_threshold=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("MapInPandas") == 2  # small tier + mega tier
