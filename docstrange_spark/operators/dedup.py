@@ -69,41 +69,53 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def lsh_bands(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> DataFrame:
     """Band hashes from a wide signature frame: (doc_id, band, band_hash).
-    Documents sharing any (band, band_hash) are near-dup candidates."""
+    Documents sharing any (band, band_hash) are near-dup candidates.
+    Built as ONE projection + explode (a union of per-band selects would
+    recompute the signature lineage once per band)."""
     rows_per_band = k // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("band_hash"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*entries)).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-duplicate candidate pairs via the banded self-join
-    (distinct doc1 < doc2). The join key (band, band_hash) bounds the
-    comparison set — the scale path that replaces O(n²) similarity."""
+    """Near-duplicate candidate pairs: bucket by (band, band_hash), emit
+    ordered pairs within each bucket (distinct doc1 < doc2).
+
+    One shuffle on the band key; pairs are generated JVM-side with
+    transform/slice over the sorted bucket members — equivalent to the
+    classic banded self-join but scanning the signature lineage once
+    instead of twice. Bucket sizes bound the quadratic blow-up exactly
+    like the join would."""
     b = lsh_bands(minhash_signatures(df, id_col, text_col))
-    left = b.alias("l")
-    right = b.alias("r")
+    buckets = (
+        b.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
