@@ -195,6 +195,59 @@ def bench_subprocess(cores: int, sf_dir: str, runs: int, mult: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_skew_probe(spark, spans_path: str, cores: int) -> dict:
+    """Skew-robustness evidence: inject one mega-document (100x the
+    median span count) and measure the per-task kernel-time distribution
+    of the salted pipeline. Target (BASELINE.md): straggler task <= 2x
+    median task."""
+    import statistics
+    import time as _t
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from docstrange_spark import datagen
+    from docstrange_spark.operators import extract
+
+    mega = datagen.scale_pdf([999_999_999], mega_every=1)  # 2000-span doc
+    # inflate to ~100x the median span count (~40): 4000 spans
+    mega_spans = (mega.iloc[0]["spans"] * 2)[:4000]
+    mega_spans = [dict(s, offset=i) for i, s in enumerate(mega_spans)]
+    spark_mega = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["mega_doc-injected"], "spans": [mega_spans]}),
+        schema=datagen.SPAN_SCHEMA_DDL,
+    )
+    df = spark.read.parquet(spans_path).unionByName(spark_mega)
+
+    kernel = extract._make_kernel(("json",), include_spans=False)
+
+    def timed_kernel(batches):
+        from pyspark import TaskContext
+
+        t0 = _t.perf_counter()
+        n = 0
+        for out in kernel(batches):
+            n += len(out)
+        el = _t.perf_counter() - t0
+        yield pd.DataFrame(
+            {"part": [TaskContext.get().partitionId()], "sec": [el], "n": [n]}
+        )
+
+    rows = (
+        df.repartition(2 * cores, F.xxhash64("doc_id"))
+        .mapInPandas(timed_kernel, schema="part int, sec double, n int")
+        .collect()
+    )
+    secs = sorted(r["sec"] for r in rows)
+    med = statistics.median(secs)
+    return {
+        "tasks": len(secs),
+        "median_task_sec": round(med, 3),
+        "max_task_sec": round(secs[-1], 3),
+        "straggler_ratio": round(secs[-1] / med, 3) if med else None,
+    }
+
+
 SCALING_N = 4  # headline pair: local[4] (N) vs local[16] (4N)
 
 
@@ -266,6 +319,8 @@ def main() -> None:
     ap.add_argument("--one", action="store_true",
                     help="internal: single pinned level, print JSON")
     ap.add_argument("--mult", type=int, default=1)
+    ap.add_argument("--skew", action="store_true",
+                    help="also measure the mega-doc straggler ratio")
     args = ap.parse_args()
 
     if args.one:
@@ -285,6 +340,16 @@ def main() -> None:
         "docs_per_sec": main_res["docs_per_sec"],
         "cores": main_res["cores"],
     }
+    if args.skew:
+        from docstrange_spark.session import get_spark
+
+        spark = get_spark(app_name="skew_probe", cores=args.cpus)
+        try:
+            spans_path = ensure_spans(spark, sf_of(args.sf_dir))
+            result["skew"] = run_skew_probe(spark, spans_path, args.cpus)
+        finally:
+            spark.stop()
+
     if args.scaling:
         levels = {
             c: bench_subprocess(c, args.sf_dir, args.runs, SCALING_MULT)

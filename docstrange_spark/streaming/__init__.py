@@ -33,6 +33,38 @@ def extract_stream(stream_df: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session aggregation over an event stream: one row per
+    (user_id, session window) with event count and value sum. Works on
+    both streaming and batch frames (same plan, state only when
+    streaming); late data beyond the watermark is dropped — the standard
+    Structured Streaming pattern for the engine's ingest telemetry."""
+    from pyspark.sql import functions as F
+
+    # event time must be TIMESTAMP (parquet may carry TIMESTAMP_NTZ)
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("session"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_parquet(
     extracted: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):

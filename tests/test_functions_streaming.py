@@ -69,6 +69,50 @@ def test_streaming_extract(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(a)
 
 
+def test_streaming_sessionization(spark, tmp_path):
+    """Watermark + session_window: streaming result equals the batch
+    result on a bounded input (availableNow drain, complete-on-append
+    via parquet sink is not allowed for aggregations — use memory sink)."""
+    # the streaming file source needs a directory, not a single file
+    ev_dir = str(tmp_path / "events_dir")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(
+        4
+    ).write.parquet(ev_dir)
+    batch = streaming.sessionize_events(spark.read.parquet(ev_dir))
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert len(b) > 10
+
+    def run_stream(watermark: str, name: str):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(ev_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        sess = streaming.sessionize_events(stream, watermark=watermark)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    # watermark beyond the data's time span: nothing is late -> == batch
+    s_all = run_stream("2000 hours", "sessions_all")
+    assert s_all == b
+
+    # tight watermark + shuffled file order: late events are dropped —
+    # the defining watermark semantic (counts can only shrink)
+    s_tight = run_stream("1 hour", "sessions_tight")
+    assert all(s_tight.get(k, 0) <= v for k, v in b.items())
+    assert sum(s_tight.values()) <= sum(b.values())
+
+
 def test_parquet_pushdown_and_pruning(spark, tmp_path):
     """Filters and projections must reach the scan: PushedFilters carries
     the predicate and ReadSchema holds only the selected columns."""
