@@ -174,7 +174,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_a") % 97 == 0
         )
         b = docs.select(F.col("doc_id").alias("doc_b"))
-        pairs = a.join(b, a["doc_a"] + 1 == b["doc_b"])
+        # materialize the tiny pair list as a local relation: jaccard
+        # references it several times and re-executing the sampling join
+        # per reference would dominate the plan
+        sampled = a.join(b, a["doc_a"] + 1 == b["doc_b"]).collect()
+        pairs = spark.createDataFrame(
+            [(r["doc_a"], r["doc_b"]) for r in sampled],
+            "doc_a long, doc_b long",
+        )
         return dedup.jaccard_pairs(docs, pairs)
 
     def q_simhash(spark, sf_dir):

@@ -130,6 +130,13 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for given (doc_a, doc_b) pairs: distinct
     shingle sets joined through the pair list; broadcast the pair list
     when small."""
+    # shingle only the documents the pair list touches (broadcast
+    # semi-join) — the shingle subtree is referenced three times below
+    # and Spark re-executes uncached lineage per reference
+    relevant = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
+    )
+    df = df.join(F.broadcast(relevant), id_col, "semi")
     sh = shingles(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

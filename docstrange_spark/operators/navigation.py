@@ -84,49 +84,38 @@ def sections_relational(
             ),
         ).alias("content"),
     )
-    n_headers = seq.groupBy("doc_id").agg(F.sum("is_header").alias("n_headers"))
-    secs = seq2.join(F.broadcast(n_headers), "doc_id")
+    # header count per doc as a window over the (already tiny) grouped
+    # rows — one lineage, no second full-lines aggregation + join
+    secs = seq2.withColumn(
+        "n_headers", F.sum("has_header").over(Window.partitionBy("doc_id"))
+    )
 
-    with_headers = secs.where((F.col("n_headers") > 0) & (F.col("has_header") == 1))
-    with_headers = with_headers.select(
+    # single-pass section emit — no union (a union would duplicate the
+    # whole upstream lineage in the plan). A header-less document is by
+    # construction ONE group (sec_seq = 0 everywhere), which is exactly
+    # its level-0 "Document Content" section; pre-first-header groups in
+    # header-ful docs are dropped; an exactly-empty document yields no
+    # section at all (kernel: ``if not sections and markdown_content``).
+    has_hdrs = F.col("n_headers") > 0
+    return secs.where(
+        (has_hdrs & (F.col("has_header") == 1))
+        | (~has_hdrs & (F.length("content") > 0))
+    ).select(
         "doc_id",
-        (F.col("sec_seq") - 1).cast("int").alias("section_idx"),
-        F.length(F.regexp_extract("header_line", r"^(#{1,6})\s", 1)).cast("int").alias("level"),
-        F.trim(F.regexp_extract("header_line", r"^#{1,6}\s+(.+)$", 1)).alias("title"),
+        F.when(has_hdrs, F.col("sec_seq") - 1).otherwise(0).cast("int").alias("section_idx"),
+        F.when(
+            has_hdrs,
+            F.length(F.regexp_extract("header_line", r"^(#{1,6})\s", 1)),
+        ).otherwise(0).cast("int").alias("level"),
+        F.when(
+            has_hdrs,
+            F.trim(F.regexp_extract("header_line", r"^#{1,6}\s+(.+)$", 1)),
+        ).otherwise("Document Content").alias("title"),
         "content",
         F.col("start_line").cast("int"),
         F.col("end_line").cast("int"),
         F.floor(F.length("content") / 4).cast("int").alias("token_count"),
     )
-    # an exactly-empty document yields no section at all (kernel:
-    # ``if not sections and markdown_content``), hence the length guard
-    headerless = (
-        secs.where(F.col("n_headers") == 0)
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("start_line", "content"))),
-                    lambda x: x["content"],
-                ),
-            ).alias("content"),
-            F.min("start_line").alias("start_line"),
-            F.max("end_line").alias("end_line"),
-        )
-        .where(F.length("content") > 0)
-        .select(
-            "doc_id",
-            F.lit(0).alias("section_idx"),
-            F.lit(0).alias("level"),
-            F.lit("Document Content").alias("title"),
-            "content",
-            F.col("start_line").cast("int"),
-            F.col("end_line").cast("int"),
-            F.floor(F.length("content") / 4).cast("int").alias("token_count"),
-        )
-    )
-    return with_headers.unionByName(headerless)
 
 
 def search_relational(
