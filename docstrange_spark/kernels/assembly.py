@@ -47,6 +47,10 @@ PROFILE_BY_CLASS = {
 }
 RUN_KINDS = {"code", "blockquote", "list_item", "table_cell"}
 DROP_KINDS = {"script", "style", "tag_open", "tag_close"}
+KNOWN_KINDS = {
+    "text", "heading", "list_item", "table_cell", "code", "blockquote",
+    "image", "link", "page_break",
+} | DROP_KINDS
 
 DOCX_ROW_LIMIT = 20
 MERGED_CELL_WARNING = (
@@ -253,6 +257,11 @@ def assemble_batch(
             )
 
     flat = flat[~flat["kind"].isin(DROP_KINDS)]
+    # unknown kinds degrade to paragraphs — the reference's label
+    # fallback (neural_document_processor.py:374-383: else -> paragraph)
+    unknown = ~flat["kind"].isin(KNOWN_KINDS)
+    if unknown.any():
+        flat.loc[unknown, "kind"] = "text"
     flat = flat.sort_values(["doc_idx", "offset"], kind="stable").reset_index(drop=True)
 
     if len(flat):
