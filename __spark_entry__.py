@@ -152,6 +152,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.row_number().over(w).cast("long").alias("reading_pos"),
         )
 
+    def q_extract_table_md(spark, sf_dir):
+        # grid-pivot path (O13/O14) end-to-end through the kernel
+        spans = spanize.spanize_tables(_docs(spark, sf_dir))
+        return extract.extract(spans).select("doc_id", "markdown")
+
+    def q_extract_table_csv(spark, sf_dir):
+        # CSV rendition (R5) end-to-end, fused in the kernel
+        spans = spanize.spanize_tables(_docs(spark, sf_dir))
+        return extract.extract(spans, formats=("csv",)).select("doc_id", "csv")
+
+    def q_extract_list_md(spark, sf_dir):
+        # list rendering path (ul/ol markers + indent) end-to-end
+        spans = spanize.spanize_lists(_docs(spark, sf_dir))
+        return extract.extract(spans).select("doc_id", "markdown")
+
     # -- dedup ------------------------------------------------------------
     def q_dedup_exact(spark, sf_dir):
         return dedup.exact_groups(_docs(spark, sf_dir))
@@ -301,6 +316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_markdown": q_extract_markdown,
         "extract_sections": q_extract_sections,
+        "extract_table_md": q_extract_table_md,
+        "extract_table_csv": q_extract_table_csv,
+        "extract_list_md": q_extract_list_md,
         "doc_info": q_doc_info,
         "section_summaries": q_section_summaries,
         "section_by_title": q_section_by_title,
@@ -404,6 +422,41 @@ sections AS (
 )
 """
 
+# tabular-spanizer reconstruction: 3x3 grid of the first 9 tokens
+# (empty/missing tokens pad as v{i}), one markdown table per doc
+TABLE_CTE = r"""
+WITH t AS (
+  SELECT 'csv_sheet-' || doc_id AS doc_id,
+         string_split(coalesce(text,''), ' ') AS toks
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         CAST((i - 1) // 3 AS INT) AS r,
+         CAST((i - 1) % 3 AS INT) AS c,
+         CASE WHEN i <= len(toks) AND length(toks[i]) > 0
+              THEN toks[i] ELSE 'v' || (i - 1) END AS cell
+  FROM t, unnest(generate_series(1, 9)) AS u(i)
+),
+trows AS (
+  SELECT doc_id, r,
+         string_agg(cell, ' | ' ORDER BY c) AS row_cells
+  FROM cells GROUP BY doc_id, r
+),
+tmd AS (
+  SELECT doc_id,
+         string_agg(
+           CASE WHEN r = 0
+                THEN '| ' || row_cells || ' |' || chr(10) || '| --- | --- | --- |'
+                ELSE '| ' || row_cells || ' |' END,
+           chr(10) ORDER BY r
+         ) AS table_md,
+         string_agg(replace(row_cells, ' | ', ','), chr(13) || chr(10) ORDER BY r)
+           AS csv_body
+  FROM trows GROUP BY doc_id
+)
+"""
+
 # shared shingle CTE over documents
 SHINGLE_CTE = r"""
 WITH t AS (
@@ -467,6 +520,38 @@ _LANG_CASE = (
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_markdown": MD_CTE + "SELECT doc_id, markdown FROM md",
+        "extract_table_md": (
+            TABLE_CTE
+            + """
+SELECT doc_id,
+       '# Sheet ' || doc_id || chr(10) || chr(10) || table_md AS markdown
+FROM tmd"""
+        ),
+        "extract_table_csv": (
+            TABLE_CTE
+            + """
+SELECT doc_id, csv_body || chr(13) || chr(10) AS csv FROM tmd"""
+        ),
+        "extract_list_md": r"""
+WITH t AS (
+  SELECT 'no_headers-' || doc_id AS doc_id,
+         string_split(coalesce(text,''), ' ') AS toks
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 4), i ->
+           CASE WHEN i <= len(toks) AND length(toks[i]) > 0
+                THEN toks[i] ELSE 'w' || (i - 1) END) AS w
+  FROM t
+)
+SELECT doc_id,
+       '## List ' || doc_id || chr(10) || chr(10) ||
+       '- ' || w[1] || chr(10) ||
+       '  - ' || w[2] || chr(10) ||
+       '1. ' || w[3] || chr(10) ||
+       '2. ' || w[4] AS markdown
+FROM tk""",
         "extract_sections": (
             MD_CTE
             + SECTIONS_CTE
