@@ -65,6 +65,48 @@ def sessionize_events(
     )
 
 
+def streaming_first_seen(
+    docs: DataFrame,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Custom stateful operator: emit only the FIRST document seen for
+    each content hash across the whole stream — streaming exact-dedup
+    via ``applyInPandasWithState`` (keyed state = "seen" flag + keeper).
+
+    Input: a streaming frame with (doc_id, content_hash). Output: one row
+    per hash, the first doc that carried it. Batch mode falls back to a
+    plain groupBy-min (same result on a bounded input).
+    """
+    from pyspark.sql import functions as F
+
+    if not docs.isStreaming:
+        return docs.groupBy(hash_col).agg(F.min("doc_id").alias("keeper_doc_id"))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup_fn(key, pdfs, state):
+        first = None
+        for pdf in pdfs:
+            cand = pdf["doc_id"].min()
+            first = cand if first is None else min(first, cand)
+        if state.exists:
+            return iter(())  # hash already emitted in an earlier batch
+        state.update((str(first),))
+        yield pd.DataFrame({"content_hash": [key[0]], "keeper_doc_id": [first]})
+
+    return (
+        docs.groupBy(hash_col)
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType="content_hash string, keeper_doc_id string",
+            stateStructType="keeper string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_parquet(
     extracted: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):

@@ -113,6 +113,45 @@ def test_streaming_sessionization(spark, tmp_path):
     assert sum(s_tight.values()) <= sum(b.values())
 
 
+def test_streaming_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: across micro-batches, each content hash is
+    emitted exactly once with its first (min) doc_id."""
+    src = str(tmp_path / "dup_docs")
+    rows = [(f"d{i:03d}", f"hash{i % 7}") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id string, content_hash string").repartition(
+        8
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id string, content_hash string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = streaming.streaming_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("firstseen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from firstseen").collect()
+    assert len(got) == 7  # one row per distinct hash, across all batches
+    assert {r["content_hash"] for r in got} == {f"hash{i}" for i in range(7)}
+
+    # batch fallback agrees on keepers
+    batch = {
+        r["content_hash"]: r["keeper_doc_id"]
+        for r in streaming_batch_keepers(spark, src).collect()
+    }
+    assert set(batch) == {r["content_hash"] for r in got}
+
+
+def streaming_batch_keepers(spark, src):
+    return streaming.streaming_first_seen(spark.read.parquet(src))
+
+
 def test_parquet_pushdown_and_pruning(spark, tmp_path):
     """Filters and projections must reach the scan: PushedFilters carries
     the predicate and ReadSchema holds only the selected columns."""
