@@ -312,7 +312,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
     ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
-    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--scaling", action="store_true",
                     help="also run local[8] vs local[32] scaling protocol")
     ap.add_argument("--no-aux", action="store_true")
