@@ -49,7 +49,7 @@ def ensure_spans(spark, sf: float) -> str:
     """Materialize the deterministic span corpus once per sf."""
     from docstrange_spark import datagen
 
-    path = os.path.join(TMP, f"spans_sf{sf}")
+    path = os.path.join(TMP, f"spans_sf{sf}_{datagen.DATAGEN_VERSION}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         n = n_docs_of(sf)

@@ -19,6 +19,10 @@ import pandas as pd
 
 SEED = 42
 
+# bump whenever generation logic changes — bench caches generated
+# corpora under /tmp keyed by this token
+DATAGEN_VERSION = "v1"
+
 # Deterministic vocabulary in the spirit of the driver's documents.text
 # word pool (TESTDATA.md) — a fixed literal so generation needs no input
 # files.
