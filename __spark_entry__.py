@@ -241,9 +241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
         )
 
-    def q_knn_lsh(spark, sf_dir):  # rows-only: seeded hyperplanes
+    def q_knn_lsh(spark, sf_dir):
+        # multi-table hyperplane LSH; planes are md5-derived so the
+        # DuckDB oracle rebuilds the identical bucketing
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return similarity.knn_lsh(emb, [0, 1, 2, 3, 4], top_k=10)
+        return similarity.knn_lsh(
+            emb, [0, 1, 2, 3, 4], top_k=10, n_planes=8, n_tables=8
+        )
 
     # -- relational engine breadth ---------------------------------------
     def q_lineitem_pricing(spark, sf_dir):
@@ -814,6 +818,60 @@ scored AS (
   FROM dots
   JOIN norms qn ON qn.vec_id = qid
   JOIN norms nn ON nn.vec_id = nid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+        # multi-table hyperplane LSH: planes are md5("{t}|{p}|{i}")-derived
+        # uniforms, so DuckDB rebuilds the exact matrix the pandas UDF uses
+        "knn_lsh": r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+planes AS (
+  SELECT t, p, i,
+         ('0x' || substr(md5(t || '|' || p || '|' || (i - 1)), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 7)) AS ut(t),
+       unnest(generate_series(0, 7)) AS up(p),
+       unnest(generate_series(1, 64)) AS ui(i)
+),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, sum(e.v * pl.w) AS s
+  FROM ex e JOIN planes pl ON pl.i = e.i
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+           AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets q
+  JOIN buckets b ON b.t = q.t AND b.bucket = q.bucket AND b.vec_id <> q.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN ex a ON a.vec_id = c.query_id
+  JOIN ex b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (qn.nrm * nn.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -1,0 +1,76 @@
+"""knn_lsh (rebuilt): multi-table hyperplane LSH — recall, portability,
+and plan-shape guarantees the round-1 version lacked.
+
+- recall@10 >= 0.9 vs exact brute force on the sf0.01 embeddings (the
+  corpus is near-random — 10th neighbor at ~74 deg — so the test uses a
+  low-selectivity config: 4 planes x 24 tables; clustered corpora reach
+  the same recall with the 8x8 default at far lower candidate volume);
+- the plane matrix is md5-derived (cross-engine portable) and never
+  enters the Spark plan as literals;
+- no driver-side Spark action at plan-build time.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from docstrange_spark.operators import similarity
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_hyperplanes_md5_derivation_and_cache():
+    P = similarity.hyperplanes(8, n_planes=2, n_tables=3)
+    assert P.shape == (6, 8)
+    h = hashlib.md5(b"1|0|5").hexdigest()[:8]
+    assert P[1 * 2 + 0, 5] == int(h, 16) / 2**31 - 1.0
+    assert np.all(P >= -1.0) and np.all(P < 1.0)
+    assert similarity.hyperplanes(8, n_planes=2, n_tables=3) is P  # cached
+
+
+def test_knn_lsh_no_plan_literals_and_no_driver_action(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    # plan-build must not launch a job (round-1 bug: .first() at build)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = similarity.knn_lsh(emb, [0, 1], top_k=5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    plan = df._jdf.queryExecution().toString()
+    # planes live inside the pandas UDF, not as per-dimension literals
+    assert plan.count("0.") < 50
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    bf = similarity.knn_bruteforce(emb, qids, top_k=10).toPandas()
+    ls = similarity.knn_lsh(emb, qids, top_k=10, n_planes=4, n_tables=24).toPandas()
+    hits = 0
+    for q in qids:
+        truth = set(bf[bf.query_id == q].neighbor_id)
+        got = set(ls[ls.query_id == q].neighbor_id)
+        hits += len(truth & got)
+    recall = hits / (10 * len(qids))
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_knn_lsh_deterministic_across_runs(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    a = similarity.knn_lsh(emb, [0, 1], top_k=5).orderBy("query_id", "rank").collect()
+    b = similarity.knn_lsh(emb, [0, 1], top_k=5).orderBy("query_id", "rank").collect()
+    assert a == b and len(a) > 0
+
+
+def test_knn_lsh_candidates_subset_of_brute_cosines(spark):
+    """Every LSH neighbor's cosine must equal the exact cosine brute force
+    computes for that pair (the re-rank is exact, only the candidate set
+    is approximate)."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    bf = similarity.knn_bruteforce(emb, [0], top_k=499).toPandas()
+    ls = similarity.knn_lsh(emb, [0], top_k=10, n_planes=4, n_tables=8).toPandas()
+    exact = dict(zip(bf.neighbor_id, bf.cosine))
+    assert len(ls) > 0
+    for _, row in ls.iterrows():
+        assert exact[row.neighbor_id] == pytest.approx(row.cosine, abs=1e-9)
