@@ -11,7 +11,7 @@ quadratic all-pairs comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_K = 8  # 8 hash functions -> 4 bands × 2 rows (LSH)
@@ -90,34 +90,77 @@ def lsh_bands(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> Da
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _all_pairs_in_buckets(buckets: DataFrame) -> DataFrame:
+    """(band, band_hash, members array) -> every ordered pair, JVM-side."""
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                "transform(slice(members, i + 2, size(members) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
     """Near-duplicate candidate pairs: bucket by (band, band_hash), emit
     ordered pairs within each bucket (distinct doc1 < doc2).
 
     One shuffle on the band key; pairs are generated JVM-side with
     transform/slice over the sorted bucket members — equivalent to the
     classic banded self-join but scanning the signature lineage once
-    instead of twice. Bucket sizes bound the quadratic blow-up exactly
-    like the join would."""
+    instead of twice.
+
+    **Hot-bucket defusal** (``max_bucket_size``): a degenerate bucket —
+    boilerplate-identical pages, empty documents — makes the quadratic
+    pairing explode (a 10^6-member bucket is 5*10^11 pairs on one task).
+    With a cap set, buckets above it switch to *chain pairing*: members
+    are linked consecutively by a lag window (n-1 pairs, no collected
+    array at all), which preserves the bucket's connected component for
+    transitive dedup clustering while bounding output and memory
+    linearly. No silent drops: pass a ``pyspark.sql.Observation`` to get
+    (rows-in-oversized-buckets, largest bucket size) metrics from the
+    run. Both branches filter the same window output, so the exchange on
+    the band key is planned once (ReusedExchange).
+
+    ``max_bucket_size=None`` keeps exact all-pairs semantics (the oracle
+    configuration)."""
     b = lsh_bands(minhash_signatures(df, id_col, text_col))
-    buckets = (
-        b.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-        .where(F.size("members") > 1)
-    )
-    return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+    if max_bucket_size is None:
+        buckets = (
+            b.groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            .where(F.size("members") > 1)
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        return _all_pairs_in_buckets(buckets).distinct()
+
+    w = Window.partitionBy("band", "band_hash")
+    sized = b.withColumn("bsize", F.count("*").over(w))
+    small_pairs = _all_pairs_in_buckets(
+        sized.where(F.col("bsize").between(2, max_bucket_size))
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
     )
+    big = sized.where(F.col("bsize") > max_bucket_size)
+    if observation is not None:
+        big = big.observe(
+            observation,
+            F.count(F.lit(1)).alias("oversized_member_rows"),
+            F.max("bsize").alias("largest_bucket"),
+        )
+    wchain = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    big_pairs = big.select(
+        F.lag("doc_id").over(wchain).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+    ).where(F.col("doc_a").isNotNull())
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def jaccard_pairs(

@@ -168,3 +168,44 @@ def test_manifest_resume(spark, documents, tmp_path):
     m = manifest.manifest_summary(spark, out_dir)
     assert m.select("bucket").distinct().count() == 8
     assert m.agg(F.sum("n_docs")).collect()[0][0] == 64
+
+
+def test_lsh_hot_bucket_cap_chain(spark):
+    """A degenerate bucket (10k identical docs) must not explode into
+    ~50M pairs on one task: with a cap, oversized buckets chain-pair
+    (n-1 consecutive links), keeping the cluster connected for
+    transitive dedup while bounding output linearly. The Observation
+    reports exactly what was capped (no silent drops)."""
+    from pyspark.sql import Observation
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears on every page of this site").alias(
+            "text"
+        ),
+    )
+    obs = Observation("lsh_skew")
+    pairs = dedup.lsh_candidate_pairs(docs, max_bucket_size=100, observation=obs)
+    rows = pairs.collect()
+    # each of the 4 bands holds ONE bucket with all n docs; every band
+    # chains the same sorted members, so distinct leaves n-1 pairs
+    assert len(rows) == n - 1
+    assert {r["doc_a"] for r in rows} == set(range(n - 1))
+    assert {r["doc_b"] for r in rows} == set(range(1, n))
+    got = obs.get
+    assert got["largest_bucket"] == n
+    assert got["oversized_member_rows"] == 4 * n  # 4 bands x n members
+
+
+def test_lsh_cap_noop_below_threshold(documents):
+    """With every bucket under the cap, capped output == exact output."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(documents).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(documents, max_bucket_size=10_000).collect()
+    }
+    assert capped == exact and exact
