@@ -3,9 +3,9 @@
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible query (the rest get the driver's rows-only check:
-chunking N4, hierarchy N3, the fixture-profile pipeline, LSH-ANN, and
-the rendition kernels R3-R5 — inherently non-relational string parsers).
+query. Every kernel profile (direct/markup/layout/ocr + the DOCX table
+cap) is oracle-checked end-to-end via deterministic spanizer bridges
+whose expected markdown DuckDB reconstructs with list/string functions.
 
 Cross-engine determinism notes: all hashes are md5-hex (identical in
 both engines); float outputs are rounded before ranking/compare; counts
@@ -72,7 +72,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from docstrange_spark import datagen
     from docstrange_spark.operators import (
         dedup,
         extract,
@@ -169,6 +168,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_extract_list_md(spark, sf_dir):
         # list rendering path (ul/ol markers + indent) end-to-end
         spans = spanize.spanize_lists(_docs(spark, sf_dir))
+        return extract.extract(spans).select("doc_id", "markdown")
+
+    # -- non-direct kernel profiles, oracle-checked end-to-end ------------
+    def q_extract_markup_md(spark, sf_dir):
+        # markup profile: DOM rebuild + script/style drop + title
+        # promotion + whitelist/density main-content selection (O1-O4)
+        spans = spanize.spanize_markup(_docs(spark, sf_dir))
+        return extract.extract(spans).select("doc_id", "markdown")
+
+    def q_extract_layout_md(spark, sf_dir):
+        # layout profile: reading-order sort, offset-adjacency grouping,
+        # smart join, block classification, heading levels, table rows
+        # (O5-O11)
+        spans = spanize.spanize_layout(_docs(spark, sf_dir))
+        return extract.extract(spans).select("doc_id", "markdown")
+
+    def q_extract_ocr_md(spark, sf_dir):
+        # ocr profile: layout + the lossy '|0 1' -> 'I o l' substitution
+        # chain applied before classification (O8)
+        spans = spanize.spanize_ocr(_docs(spark, sf_dir))
+        return extract.extract(spans).select("doc_id", "markdown")
+
+    def q_extract_docx_md(spark, sf_dir):
+        # DOCX semantics: 20-row table cap + merged-cell warning (O16)
+        spans = spanize.spanize_docx(_docs(spark, sf_dir))
         return extract.extract(spans).select("doc_id", "markdown")
 
     # -- dedup ------------------------------------------------------------
@@ -298,14 +322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("n_after_click"),
         )
 
-    # -- kernel-path pipeline (rows-only checks) --------------------------
-    def q_fixture_pipeline(spark, sf_dir):
-        spans = datagen.fixture_spans(spark)
-        out = extract.extract(spans)
-        return out.select(
-            "doc_id", "profile", "n_blocks", F.md5("markdown").alias("markdown_hash")
-        ).orderBy("doc_id")
-
     def q_renditions(spark, sf_dir):
         # fused-kernel path: renditions computed inside the extraction
         # kernel's Python worker (no chained scalar UDF stage)
@@ -336,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table_md": q_extract_table_md,
         "extract_table_csv": q_extract_table_csv,
         "extract_list_md": q_extract_list_md,
+        "extract_markup_md": q_extract_markup_md,
+        "extract_layout_md": q_extract_layout_md,
+        "extract_ocr_md": q_extract_ocr_md,
+        "extract_docx_md": q_extract_docx_md,
         "doc_info": q_doc_info,
         "section_summaries": q_section_summaries,
         "section_by_title": q_section_by_title,
@@ -358,7 +378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
         "events_by_user": q_events_by_user,
-        "fixture_pipeline": q_fixture_pipeline,
         "renditions": q_renditions,
         "chunks": q_chunks,
         "hierarchy": q_hierarchy,
@@ -368,12 +387,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 
-# shared CTE: rebuild the spanizer+extractor markdown from documents
-MD_CTE = r"""
+# shared CTE: rebuild the spanizer+extractor markdown from documents.
+# Parameterized by doc_id prefix: the markup bridge (html_page-) routes
+# through DOM boilerplate-stripping yet lands on the same markdown, so
+# the same reconstruction verifies it.
+def _md_cte(prefix: str = "doc") -> str:
+    return r"""
 WITH t AS (
-  SELECT 'doc-' || doc_id AS doc_id, string_split(coalesce(text,''), ' ') AS toks
+  SELECT '__PREFIX__-' || doc_id AS doc_id, string_split(coalesce(text,''), ' ') AS toks
   FROM documents
-),
+),""".replace("__PREFIX__", prefix) + _MD_CTE_BODY
+
+
+_MD_CTE_BODY = r"""
 base AS (
   SELECT doc_id, toks, array_to_string(toks[1:3], ' ') AS title,
          greatest(len(toks) - 3, 0) AS n_body
@@ -404,6 +430,8 @@ md AS (
   FROM base b LEFT JOIN bodies bo USING (doc_id)
 )
 """
+
+MD_CTE = _md_cte("doc")
 
 # shared CTE suffix: MCP-semantics section split over md(doc_id, markdown)
 SECTIONS_CTE = r""",
@@ -473,6 +501,112 @@ tmd AS (
   FROM trows GROUP BY doc_id
 )
 """
+
+# ---------------------------------------------------------------------------
+# layout/ocr oracle reconstruction: padded 9-token list, five blocks that
+# hit every classification branch, the exact classify/format/heading
+# rules of textproc.py (layout_detector.py:188-239), and — for ocr — the
+# lossy substitution chain (:172-186)
+
+_TOK9_CTE = r"""
+tk AS (
+  SELECT doc_id, list_transform(generate_series(1, 9), i ->
+    CASE WHEN i <= len(toks) AND length(toks[i]) > 0
+         THEN toks[i] ELSE 't' || (i - 1) END) AS w
+  FROM t
+)"""
+
+_OCR_CLEAN = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace("
+    r"replace(replace(replace({s}, '|', 'I'), '0', 'o'), '1', 'l'),"
+    r" '\s+', ' ', 'g'), '([.!?])\s*([A-Z])', '\1 \2', 'g'),"
+    r""" '[^\w\s.,!?;:()\[\]{{}}"''-]', '', 'g'))"""
+)
+
+_WC = "len(string_split(s, ' '))"
+_CLASSIFY_RENDER = rf"""
+CASE
+  WHEN regexp_matches(s, '^(?:[0-9]+\.|[•·▪▫◦‣⁃]|[-*+]|[a-zA-Z]\.)')
+    THEN '- ' || s
+  WHEN contains(s, '|')
+    THEN '| ' || array_to_string(list_transform(string_split(s, '|'), x -> trim(x)), ' | ') || ' |'
+  WHEN contains(s, chr(9))
+    THEN '| ' || array_to_string(list_transform(string_split(s, chr(9)), x -> trim(x)), ' | ') || ' |'
+  WHEN {_WC} >= 4 AND contains(s, '  ')
+    THEN '| ' || array_to_string(list_transform(regexp_split_to_array(s, ' {{2,}}'), x -> trim(x)), ' | ') || ' |'
+  WHEN {_WC} <= 5 AND (s LIKE '%.' OR (upper(s) = s AND lower(s) <> s))
+    THEN repeat('#', CASE WHEN {_WC} <= 3 THEN 1 ELSE 2 END) || ' ' || s
+  ELSE s
+END"""
+
+
+def _layout_oracle(prefix: str, noisy: bool) -> str:
+    if noisy:
+        blocks = [
+            "'|' || upper(w[1])",
+            "w[2] || '0 ' || w[3] || ' ' || w[4] || '1'",
+            "'1. ' || w[5]",
+            "w[6] || ' | ' || w[7]",
+            "w[8] || ', ' || w[9] || '.'",
+        ]
+        s_expr = _OCR_CLEAN.format(s="raw")
+    else:
+        blocks = [
+            "upper(w[1])",
+            "w[2] || ' ' || w[3] || ' ' || w[4]",
+            "'1. ' || w[5]",
+            "w[6] || ' | ' || w[7]",
+            "w[8] || ', ' || w[9] || '.'",
+        ]
+        s_expr = "raw"
+    case_blocks = " ".join(
+        f"WHEN {i + 1} THEN {b}" for i, b in enumerate(blocks[:-1])
+    )
+    return rf"""
+WITH t AS (
+  SELECT '{prefix}-' || doc_id AS doc_id,
+         string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+),{_TOK9_CTE},
+blk AS (
+  SELECT doc_id, i,
+         CASE i {case_blocks} ELSE {blocks[-1]} END AS raw
+  FROM tk, unnest(generate_series(1, 5)) AS u(i)
+),
+cl AS (SELECT doc_id, i, {s_expr} AS s FROM blk),
+r AS (SELECT doc_id, i, {_CLASSIFY_RENDER} AS line FROM cl)
+SELECT doc_id,
+       '## Page 1' || chr(10) || chr(10) ||
+       string_agg(line, chr(10) || chr(10) ORDER BY i) AS markdown
+FROM r GROUP BY doc_id"""
+
+
+_DOCX_ORACLE = rf"""
+WITH t AS (
+  SELECT 'docx_like-' || doc_id AS doc_id,
+         string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+),{_TOK9_CTE},
+trows AS (
+  SELECT doc_id, r,
+         '| ' || w[(2 * r) % 9 + 1] || ' | ' || w[(2 * r + 1) % 9 + 1] || ' |'
+           AS line
+  FROM tk, unnest(generate_series(0, 19)) AS u(r)
+),
+tbl AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN r = 0 THEN line || chr(10) || '| --- | --- |'
+                         ELSE line END, chr(10) ORDER BY r) AS table_md
+  FROM trows GROUP BY doc_id
+)
+SELECT doc_id,
+       '# Doc ' || doc_id || chr(10) || chr(10) ||
+       '*Warning: Table contains merged cells which may not render correctly in markdown.*'
+       || chr(10) || chr(10) ||
+       '*Table truncated to first 20 rows out of 25 total.*'
+       || chr(10) || chr(10) || table_md AS markdown
+FROM tbl"""
+
 
 # shared shingle CTE over documents
 SHINGLE_CTE = r"""
@@ -569,6 +703,15 @@ SELECT doc_id,
        '1. ' || w[3] || chr(10) ||
        '2. ' || w[4] AS markdown
 FROM tk""",
+        # the markup bridge routes through DOM boilerplate stripping
+        # (whitelist on even ids, density scoring on odd ids) and must
+        # land on the exact same markdown as the direct bridge
+        "extract_markup_md": (
+            _md_cte("html_page") + "SELECT doc_id, markdown FROM md"
+        ),
+        "extract_layout_md": _layout_oracle("pdf_pages", noisy=False),
+        "extract_ocr_md": _layout_oracle("ocr_noisy", noisy=True),
+        "extract_docx_md": _DOCX_ORACLE,
         "extract_sections": (
             MD_CTE
             + SECTIONS_CTE

@@ -139,6 +139,194 @@ def spanize_lists(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# profile bridges: markup / layout / ocr / docx — deterministic span
+# streams that route through the NON-direct kernel profiles with a
+# SQL-reconstructible output, so boilerplate stripping, classification,
+# smart join, OCR substitutions and the DOCX table cap all get DuckDB
+# oracle rows (the round-1 gap: only the direct profile was oracle-
+# checked end-to-end).
+
+
+def spanize_markup_page(doc_id: str, num_id: int, text: str) -> list[dict]:
+    """Full-page DOM bridge for the markup profile: head with <title>,
+    <script> and <style> noise (O1 must drop them), a link-only nav div
+    (boilerplate), and a main container holding the direct bridge's
+    heading/para layout. Even ids get ``class=content`` (the reference's
+    selector whitelist, url_processor.py:316-325); odd ids get
+    ``class=post`` so selection falls through to the text-density vs
+    link-density scorer. Both routes keep exactly the main container's
+    spans, so the markdown equals the direct bridge's."""
+    toks = (text or "").split(" ")
+    title = " ".join(toks[:TITLE_TOKENS])
+    main_cls = "content" if num_id % 2 == 0 else "post"
+
+    def t(kind, text_, ref, off):
+        return {"kind": kind, "text": text_, "media_ref": ref, "offset": off}
+
+    spans = [
+        t("tag_open", "html", "", 0),
+        t("tag_open", "head", "", 1),
+        t("tag_open", "title", "", 2),
+        t("text", title, "", 3),
+        t("tag_close", "title", "", 4),
+        t("tag_open", "script", "", 5),
+        t("text", "var x = 1;", "", 6),
+        t("tag_close", "script", "", 7),
+        t("tag_open", "style", "", 8),
+        t("text", "body { color: red }", "", 9),
+        t("tag_close", "style", "", 10),
+        t("tag_close", "head", "", 11),
+        t("tag_open", "body", "", 12),
+        t("tag_open", "div", "class=nav", 13),
+        t("link", "x", "#", 14),
+        t("tag_close", "div", "", 15),
+        t("tag_open", "div", f"class={main_cls}", 16),
+    ]
+    off = 17
+    body = toks[TITLE_TOKENS:]
+    for i in range(0, len(body), PARA_TOKENS):
+        pidx = i // PARA_TOKENS
+        if pidx % PARAS_PER_PART == 0:
+            spans.append(
+                t("heading", f"Part {pidx // PARAS_PER_PART + 1}", "h2", off)
+            )
+            off += 1
+        spans.append(t("text", " ".join(body[i : i + PARA_TOKENS]), "", off))
+        off += 1
+    spans.append(t("tag_close", "div", "", off))
+    spans.append(t("tag_close", "body", "", off + 1))
+    spans.append(t("tag_close", "html", "", off + 2))
+    return spans
+
+
+def _markup_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = "html_page-" + pdf["doc_id"].astype(str)
+        spans = [
+            spanize_markup_page(d, int(n), t)
+            for d, n, t in zip(ids, pdf["doc_id"], pdf["text"].fillna(""))
+        ]
+        yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+
+def spanize_markup(documents: DataFrame) -> DataFrame:
+    """(doc_id int64, text, ...) -> ('html_page-{id}', full-page DOM spans)."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _markup_kernel, schema=SPAN_SCHEMA_DDL
+    )
+
+
+def _nine_tokens(text: str, pad: str = "t") -> list[str]:
+    toks = (text or "").split(" ")
+    return [
+        toks[i] if i < len(toks) and toks[i] else f"{pad}{i}" for i in range(9)
+    ]
+
+
+def spanize_layout_page(doc_id: str, text: str, noisy: bool = False) -> list[dict]:
+    """Layout/OCR bridge: a page header plus five text runs that hit each
+    classification branch (layout_detector.py:188-239) — an isolated
+    ALL-CAPS heading, a 3-span smart-joined paragraph, a numbered list
+    item, a pipe table row, and a period-terminated 2-word heading.
+    ``noisy=True`` injects the '|','0','1' characters the OCR post-
+    process (:172-186) must lossily substitute."""
+    w = _nine_tokens(text)
+
+    def t(text_, off):
+        return {"kind": "text", "text": text_, "media_ref": "", "offset": off}
+
+    if noisy:
+        a = "|" + w[0].upper()
+        b1, b2, b3 = w[1] + "0", w[2], w[3] + "1"
+        c = "1. " + w[4]
+        d = w[5] + " | " + w[6]
+    else:
+        a = w[0].upper()
+        b1, b2, b3 = w[1], w[2], w[3]
+        c = "1. " + w[4]
+        d = w[5] + " | " + w[6]
+    return [
+        {"kind": "page_break", "text": "1", "media_ref": "page", "offset": 0},
+        t(a, 2),
+        t(b1, 4), t(b2, 5), t(b3, 6),  # consecutive offsets -> one run
+        t(c, 8),
+        t(d, 10),
+        t(w[7] + ",", 12), t(w[8] + ".", 13),  # run -> "x, y." heading
+    ]
+
+
+def _layout_kernel_factory(prefix: str, noisy: bool):
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = f"{prefix}-" + pdf["doc_id"].astype(str)
+            spans = [
+                spanize_layout_page(d, t, noisy)
+                for d, t in zip(ids, pdf["text"].fillna(""))
+            ]
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return _run
+
+
+def spanize_layout(documents: DataFrame) -> DataFrame:
+    """(doc_id int64, text, ...) -> ('pdf_pages-{id}', layout spans)."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _layout_kernel_factory("pdf_pages", noisy=False), schema=SPAN_SCHEMA_DDL
+    )
+
+
+def spanize_ocr(documents: DataFrame) -> DataFrame:
+    """(doc_id int64, text, ...) -> ('ocr_noisy-{id}', noisy layout spans)."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _layout_kernel_factory("ocr_noisy", noisy=True), schema=SPAN_SCHEMA_DDL
+    )
+
+
+DOCX_ROWS = 25
+DOCX_COLS = 2
+
+
+def spanize_docx_table(doc_id: str, text: str) -> list[dict]:
+    """DOCX bridge: a 25x2 table (over the reference's 20-row cap,
+    docx_processor.py:140-148) with one merged cell, so the truncation
+    notice and merged-cell warning are both exercised. Cell (r, c) is
+    token (2r + c) mod 9 of the padded 9-token list."""
+    w = _nine_tokens(text)
+    spans = [
+        {"kind": "heading", "text": f"Doc {doc_id}", "media_ref": "h1", "offset": 0}
+    ]
+    for r in range(DOCX_ROWS):
+        for c in range(DOCX_COLS):
+            i = DOCX_COLS * r + c
+            merged = ":m" if (r == 0 and c == 0) else ""
+            spans.append(
+                {
+                    "kind": "table_cell",
+                    "text": w[i % 9],
+                    "media_ref": f"r{r}:c{c}:t0{merged}",
+                    "offset": 1 + i,
+                }
+            )
+    return spans
+
+
+def _docx_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = "docx_like-" + pdf["doc_id"].astype(str)
+        spans = [
+            spanize_docx_table(d, t) for d, t in zip(ids, pdf["text"].fillna(""))
+        ]
+        yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+
+def spanize_docx(documents: DataFrame) -> DataFrame:
+    """(doc_id int64, text, ...) -> ('docx_like-{id}', capped-table spans)."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _docx_kernel, schema=SPAN_SCHEMA_DDL
+    )
+
+
 def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids = "doc-" + pdf["doc_id"].astype(str)
