@@ -4,10 +4,10 @@ Behavior-compatible with the reference's converter body
 (``/root/reference/docstrange/result.py:356-686`` MarkdownToHTMLConverter):
 same pass order (fenced code -> indented code -> tables -> hr -> quotes ->
 headers -> lists -> inline -> paragraphs), same regexes, same escaping.
-The reference additionally wraps the body in a fixed ~200-line styled page
-shell (``result.py:722-938``); we emit a minimal semantic shell instead —
-the shell is presentation, not extraction semantics, and goldens compare
-the converted body.
+Full pages default to the reference's fixed styled shell
+(``result.py:722-938``, captured byte-exactly in :mod:`html_shell`) so
+whole ``extract_html`` outputs diff clean against the reference; a
+minimal semantic shell remains available for size-sensitive sinks.
 """
 
 from __future__ import annotations
@@ -199,9 +199,21 @@ def markdown_to_html_body(markdown_text: str) -> str:
     return _paragraphs(html)
 
 
-def markdown_to_html_page(markdown_text: str, title: str = "Converted Document") -> str:
-    """Full-page rendition: converted body in a minimal semantic shell."""
+def markdown_to_html_page(
+    markdown_text: str,
+    title: str = "Converted Document",
+    shell: str = "reference",
+) -> str:
+    """Full-page rendition (R3). ``shell="reference"`` (default) embeds
+    the body in the reference's styled page shell byte-for-byte
+    (``result.py:712-938``, captured in :mod:`html_shell`); pass
+    ``shell="minimal"`` for a compact semantic wrapper when the 5 KB of
+    fixed CSS per document is unwanted."""
     body = markdown_to_html_body(markdown_text)
+    if shell == "reference":
+        from docstrange_spark.kernels.html_shell import PAGE_PREFIX, PAGE_SUFFIX
+
+        return PAGE_PREFIX + body + PAGE_SUFFIX
     return (
         "<!DOCTYPE html>\n"
         '<html lang="en">\n<head>\n<meta charset="UTF-8">\n'

@@ -101,11 +101,11 @@ def with_renditions(extracted: DataFrame, formats: tuple[str, ...] = ("html", "j
 
 def combine_documents(extracted: DataFrame, fmt: str = "markdown") -> DataFrame:
     """Multi-document combination, the CLI's multi-file output
-    (``/root/reference/docstrange/cli.py:488-538``): markdown joined with
-    ``\\n\\n---\\n\\n``, html with ``<hr>``; returns a 1-row DataFrame.
-    Deterministic: documents ordered by doc_id."""
-    sep = "\n\n---\n\n" if fmt == "markdown" else "\n<hr>\n"
-    col = "markdown" if fmt == "markdown" else fmt
+    (``/root/reference/docstrange/cli.py:488-538``): markdown/text joined
+    with ``\\n\\n---\\n\\n``, html with ``\\n\\n<hr>\\n\\n``; returns a
+    1-row DataFrame. Deterministic: documents ordered by doc_id."""
+    sep = "\n\n<hr>\n\n" if fmt == "html" else "\n\n---\n\n"
+    col = "markdown" if fmt in ("markdown", "text") else fmt
     # array_sort on (doc_id, payload) structs gives a deterministic join
     # order regardless of shuffle arrival order
     return extracted.select("doc_id", F.col(col).alias("payload")).agg(

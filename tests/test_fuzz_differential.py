@@ -65,3 +65,15 @@ def test_csv_rendition_matches_reference(ref_result, md):
     except ValueError:
         theirs = ""  # reference raises on no tables; we return ''
     assert mdcsv.markdown_to_csv(md) == theirs
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(MARKDOWN)
+def test_full_html_page_matches_reference(ref_result, md):
+    """R3 full-page parity: the default shell reproduces the reference's
+    entire styled extract_html() output byte-for-byte (result.py:712-938),
+    not just the converted body."""
+    assert (
+        mdhtml.markdown_to_html_page(md)
+        == ref_result.ConversionResult(md).extract_html()
+    )
