@@ -324,19 +324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_renditions(spark, sf_dir):
         # fused-kernel path: renditions computed inside the extraction
-        # kernel's Python worker (no chained scalar UDF stage)
+        # kernel's Python worker (no chained scalar UDF stage). Full
+        # strings go to the driver's value-hash compare; the DuckDB
+        # oracle reconstructs the styled page, the structured JSON and
+        # the (table-less -> empty) CSV byte-for-byte.
         out = extract.extract(
             spanize.spanize(_docs(spark, sf_dir)),
             formats=("html", "json", "csv"),
             include_spans=False,
         )
-        return out.select(
-            "doc_id",
-            F.md5("html").alias("html_hash"),
-            F.md5("json").alias("json_hash"),
-            F.md5("csv").alias("csv_hash"),
-            F.length("html").cast("long").alias("html_len"),
-        )
+        return out.select("doc_id", "html", "json", "csv")
 
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
@@ -501,6 +498,72 @@ tmd AS (
   FROM trows GROUP BY doc_id
 )
 """
+
+# ---------------------------------------------------------------------------
+# rendition + hierarchy oracle reconstruction over the direct-bridge
+# markdown: the html body is headers+paragraphs only, the structured
+# JSON's flat shape (R4 quirks: pre-header content dropped, L1 content
+# empty) and the MCP hierarchy tree are emitted as exact
+# json.dumps(sort_keys=True) strings with string_agg
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _renditions_oracle() -> str:
+    from docstrange_spark.kernels.html_shell import PAGE_PREFIX, PAGE_SUFFIX
+
+    return (
+        MD_CTE
+        + rf""",
+hb AS (
+  SELECT doc_id, i,
+         CASE WHEN i % 3 = 0
+              THEN '<h2>Part ' || (i // 3 + 1) || '</h2>' || chr(10)
+              ELSE '' END || '<p>' || para || '</p>' AS hline
+  FROM paras
+),
+hbody AS (
+  SELECT doc_id, string_agg(hline, chr(10) ORDER BY i) AS body
+  FROM hb GROUP BY doc_id
+),
+html AS (
+  SELECT b.doc_id,
+         '{_sq(PAGE_PREFIX)}' || '<h1>' || b.title || '</h1>' ||
+         CASE WHEN hb.body IS NULL THEN '' ELSE chr(10) || hb.body END ||
+         '{_sq(PAGE_SUFFIX)}' AS html
+  FROM base b LEFT JOIN hbody hb USING (doc_id)
+),
+jparts AS (
+  SELECT doc_id, (i // 3) AS part,
+         string_agg('"' || para || '"', ', ' ORDER BY i) AS plist
+  FROM paras GROUP BY doc_id, (i // 3)
+),
+jsubs AS (
+  SELECT doc_id,
+         string_agg('{{"content": {{"paragraphs": [' || plist ||
+                    ']}}, "level": 2, "title": "Part ' || (part + 1) ||
+                    '", "type": "section"}}', ', ' ORDER BY part) AS subs,
+         count(*) AS n_parts
+  FROM jparts GROUP BY doc_id
+),
+js AS (
+  SELECT b.doc_id,
+         '{{"document": {{"metadata": {{"has_code_blocks": false, "has_images": false, "has_lists": false, "has_tables": false, "max_heading_level": '
+         || CASE WHEN j.subs IS NULL THEN '1' ELSE '2' END
+         || ', "total_sections": ' || (1 + coalesce(j.n_parts, 0))
+         || '}}, "sections": [{{"content": {{}}, "level": 1, '
+         || CASE WHEN j.subs IS NULL THEN ''
+                 ELSE '"subsections": [' || j.subs || '], ' END
+         || '"title": "' || b.title
+         || '", "type": "section"}}]}}, "format": "structured_json"}}' AS json
+  FROM base b LEFT JOIN jsubs j USING (doc_id)
+)
+SELECT h.doc_id, h.html, js.json, '' AS csv
+FROM html h JOIN js USING (doc_id)"""
+    )
+
 
 # ---------------------------------------------------------------------------
 # layout/ocr oracle reconstruction: padded 9-token list, five blocks that
@@ -827,6 +890,38 @@ SELECT doc_id,
        CAST(max(section_idx) AS INT) AS end_index,
        CAST(sum(tc) AS INT) AS token_count
 FROM assign GROUP BY doc_id, chunk_idx"""
+        ),
+        # R3/R4/R5 full rendition strings (html page incl. the styled
+        # shell, structured JSON, empty CSV for table-less docs)
+        "renditions": _renditions_oracle(),
+        # N3 hierarchy: the MCP tree as an exact
+        # json.dumps(sort_keys=True) string — one L1 root whose children
+        # are the Part sections
+        "hierarchy": (
+            MD_CTE
+            + SECTIONS_CTE
+            + r""",
+l2 AS (
+  SELECT doc_id,
+         string_agg('{"children": [], "end_line": ' || end_line ||
+                    ', "level": ' || level ||
+                    ', "start_line": ' || start_line ||
+                    ', "title": "' || title ||
+                    '", "token_count": ' || token_count || '}',
+                    ', ' ORDER BY section_idx) AS kids
+  FROM sections WHERE section_idx > 0 GROUP BY doc_id
+),
+l1 AS (SELECT * FROM sections WHERE section_idx = 0),
+tot AS (SELECT doc_id, count(*) AS n FROM sections GROUP BY doc_id)
+SELECT l1.doc_id,
+       '{"structure": [{"children": [' || coalesce(l2.kids, '') ||
+       '], "end_line": ' || l1.end_line ||
+       ', "level": ' || l1.level ||
+       ', "start_line": ' || l1.start_line ||
+       ', "title": "' || l1.title ||
+       '", "token_count": ' || l1.token_count ||
+       '}], "total_sections": ' || tot.n || '}' AS hierarchy
+FROM l1 LEFT JOIN l2 USING (doc_id) JOIN tot USING (doc_id)"""
         ),
         "dedup_exact": r"""
 SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
