@@ -69,14 +69,12 @@ def main(argv: list[str] | None = None) -> int:
 
     out = ex.extract(src, formats=fmts)
     if args.combine:
-        fmt = (
-            "markdown"
-            if args.output_format in ("markdown", "text")
-            else args.output_format
-        )
-        renditions.combine_documents(out, fmt).write.mode("overwrite").parquet(
-            args.out
-        )
+        if args.output_format == "all":
+            print("--combine needs a single output format", file=sys.stderr)
+            return 2
+        renditions.combine_documents(out, args.output_format).write.mode(
+            "overwrite"
+        ).parquet(args.out)
     else:
         out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -99,11 +99,71 @@ def with_renditions(extracted: DataFrame, formats: tuple[str, ...] = ("html", "j
     return out
 
 
+@pandas_udf(StringType())
+def _json_combine_envelope(payload_lists: pd.Series) -> pd.Series:
+    """The reference's multi-file JSON wrapper
+    (``cli.py:505-518``): ``{"results": [...], "count": N, "errors": []}``
+    serialized with indent=2. Inner documents are our canonical
+    (sorted-keys) parses."""
+    return payload_lists.map(
+        lambda lst: json.dumps(
+            {
+                "results": [json.loads(s) for s in lst],
+                "count": len(lst),
+                "errors": [],
+            },
+            indent=2,
+            ensure_ascii=False,
+        )
+    )
+
+
 def combine_documents(extracted: DataFrame, fmt: str = "markdown") -> DataFrame:
     """Multi-document combination, the CLI's multi-file output
     (``/root/reference/docstrange/cli.py:488-538``): markdown/text joined
-    with ``\\n\\n---\\n\\n``, html with ``\\n\\n<hr>\\n\\n``; returns a
-    1-row DataFrame. Deterministic: documents ordered by doc_id."""
+    with ``\\n\\n---\\n\\n``, html with ``\\n\\n<hr>\\n\\n``, json wrapped
+    in the ``{"results", "count", "errors"}`` envelope (indent=2), csv as
+    ``=== File {i} ===`` sections where i keeps its position among ALL
+    documents and empty-table documents are skipped (``cli.py:523-535``).
+    Returns a 1-row DataFrame. Deterministic: documents ordered by
+    doc_id."""
+    if fmt == "csv":
+        w = Window.orderBy("doc_id")
+        numbered = extracted.select("doc_id", "csv").withColumn(
+            "i", F.row_number().over(w)
+        )
+        kept = numbered.where(F.trim(F.col("csv")) != "").select(
+            "i",
+            F.concat(
+                F.lit("=== File "), F.col("i"), F.lit(" ===\n"), F.col("csv")
+            ).alias("payload"),
+        )
+        return kept.agg(
+            F.concat_ws(
+                "\n\n",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, payload))),"
+                    " x -> x.payload)"
+                ),
+            ).alias("combined"),
+            F.count("*").alias("count"),
+        )
+    if fmt == "json":
+        sorted_payloads = F.expr(
+            "transform(array_sort(collect_list(struct(doc_id, payload))),"
+            " x -> x.payload)"
+        )
+        return (
+            extracted.select("doc_id", F.col("json").alias("payload"))
+            .agg(
+                sorted_payloads.alias("payloads"),
+                F.count("*").alias("count"),
+            )
+            .select(
+                _json_combine_envelope(F.col("payloads")).alias("combined"),
+                "count",
+            )
+        )
     sep = "\n\n<hr>\n\n" if fmt == "html" else "\n\n---\n\n"
     col = "markdown" if fmt in ("markdown", "text") else fmt
     # array_sort on (doc_id, payload) structs gives a deterministic join
