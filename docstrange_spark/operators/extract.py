@@ -73,51 +73,145 @@ def _slice_by_span_budget(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         yield pdf.iloc[start:]
 
 
+# ---------------------------------------------------------------------------
+# within-row segmentation: ONE document whose span count exceeds the
+# budget is assembled in slices and merged order-preservingly, so a
+# 10^6-span mega-doc costs a sequence of bounded kernel invocations
+# instead of one worker-sized allocation. Cuts land only where the
+# assembly's run-merge predicate is False (kind change, table id change,
+# code fence change, text offset gap), so the segmented output is
+# byte-identical to the unsegmented one. A single run larger than the
+# budget forms one oversized slice (its semantics — smart join, grid
+# pivot — need the whole run); markup documents are never segmented
+# (the DOM walk needs the whole tag tree).
+
+
+def _can_cut(prev: dict, cur: dict) -> bool:
+    pk, ck = prev.get("kind"), cur.get("kind")
+    if pk != ck:
+        return True
+    if ck in ("heading", "image", "link", "page_break"):
+        return True  # singleton kinds never merge into runs
+    if ck == "text":
+        return (cur.get("offset") or 0) != (prev.get("offset") or 0) + 1
+    if ck == "table_cell":
+        # cut only between tables: compare the :t{id} component
+        pt = (prev.get("media_ref") or "").split(":")
+        ct = (cur.get("media_ref") or "").split(":")
+        return (pt[2:3] or [""])[0] != (ct[2:3] or [""])[0]
+    if ck == "code":
+        return (prev.get("media_ref") or "") != (cur.get("media_ref") or "")
+    return False  # list_item / blockquote runs and singleton kinds
+
+
+def _segment_spans(spans: list, budget: int) -> Iterator[list]:
+    ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
+    start = 0
+    i = 1
+    n = len(ordered)
+    while i < n:
+        if i - start >= budget and _can_cut(ordered[i - 1], ordered[i]):
+            yield ordered[start:i]
+            start = i
+        i += 1
+    yield ordered[start:]
+
+
+def _assemble_megadoc(
+    doc_id: str, spans: list, build_spans: bool, budget: int
+) -> pd.DataFrame:
+    md_parts: list[str] = []
+    spans_out: list[dict] = []
+    n_blocks = 0
+    profile = None
+    for seg in _segment_spans(spans, budget):
+        part = assemble_batch(
+            pd.Series([doc_id]), pd.Series([seg]), build_spans=build_spans
+        )
+        profile = part["profile"].iat[0]
+        if part["markdown"].iat[0]:
+            md_parts.append(part["markdown"].iat[0])
+        if build_spans:
+            for sp in part["out_spans"].iat[0]:
+                spans_out.append({**sp, "offset": n_blocks + sp["offset"]})
+        n_blocks += int(part["n_blocks"].iat[0])
+    out: dict = {"doc_id": [doc_id], "markdown": ["\n\n".join(md_parts)]}
+    if build_spans:
+        out["out_spans"] = [spans_out]
+    out["n_blocks"] = [n_blocks]
+    out["profile"] = [profile]
+    return pd.DataFrame(out)
+
+
 def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # renditions imported lazily so the worker pays only for what it uses
         if formats:
             from docstrange_spark.kernels import mdcsv, mdhtml, mdjson
+        from docstrange_spark.kernels.assembly import profile_of
+
+        def _finish(out: pd.DataFrame) -> pd.DataFrame:
+            if "json" in formats or "meta" in formats:
+                # one parse per doc feeds both the JSON rendition and
+                # the typed metadata struct
+                parsed = out["markdown"].map(mdjson.parse_markdown)
+                if "json" in formats:
+                    out["json"] = parsed.map(
+                        lambda d: json.dumps(
+                            {**d, "format": "structured_json"},
+                            ensure_ascii=False,
+                            sort_keys=True,
+                        )
+                    )
+                if "meta" in formats:
+                    out["doc_meta"] = parsed.map(
+                        lambda d: {
+                            k: d["document"]["metadata"].get(k, dflt)
+                            for k, dflt in (
+                                ("total_sections", 0),
+                                ("max_heading_level", 0),
+                                ("has_tables", False),
+                                ("has_code_blocks", False),
+                                ("has_lists", False),
+                                ("has_images", False),
+                            )
+                        }
+                    )
+            if "html" in formats:
+                out["html"] = out["markdown"].map(mdhtml.markdown_to_html_page)
+            if "csv" in formats:
+                out["csv"] = out["markdown"].map(mdcsv.markdown_to_csv)
+            return out
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            for chunk in _slice_by_span_budget(pdf):
+            sizes = pdf["spans"].map(lambda s: len(s) if s is not None else 0)
+            # within-row segmentation for mega docs (markup excluded:
+            # the DOM walk needs the whole tag tree)
+            is_mega = (sizes > MAX_BATCH_SPANS) & (
+                pdf["doc_id"].map(profile_of) != "markup"
+            )
+            for _, row in pdf[is_mega].iterrows():
+                yield _finish(
+                    _assemble_megadoc(
+                        row["doc_id"],
+                        list(row["spans"]),
+                        build_spans=include_spans,
+                        budget=MAX_BATCH_SPANS,
+                    )
+                )
+            normal = pdf[~is_mega]
+            if not len(normal):
+                continue
+            for chunk in _slice_by_span_budget(normal):
                 # include_spans=False skips building AND Arrow-shipping the
                 # block stream (the fattest column) on the throughput path
-                out = assemble_batch(
-                    chunk["doc_id"], chunk["spans"], build_spans=include_spans
+                yield _finish(
+                    assemble_batch(
+                        chunk["doc_id"], chunk["spans"], build_spans=include_spans
+                    )
                 )
-                if "json" in formats or "meta" in formats:
-                    # one parse per doc feeds both the JSON rendition and
-                    # the typed metadata struct
-                    parsed = out["markdown"].map(mdjson.parse_markdown)
-                    if "json" in formats:
-                        out["json"] = parsed.map(
-                            lambda d: json.dumps(
-                                {**d, "format": "structured_json"},
-                                ensure_ascii=False,
-                                sort_keys=True,
-                            )
-                        )
-                    if "meta" in formats:
-                        out["doc_meta"] = parsed.map(
-                            lambda d: {
-                                k: d["document"]["metadata"].get(k, dflt)
-                                for k, dflt in (
-                                    ("total_sections", 0),
-                                    ("max_heading_level", 0),
-                                    ("has_tables", False),
-                                    ("has_code_blocks", False),
-                                    ("has_lists", False),
-                                    ("has_images", False),
-                                )
-                            }
-                        )
-                if "html" in formats:
-                    out["html"] = out["markdown"].map(mdhtml.markdown_to_html_page)
-                if "csv" in formats:
-                    out["csv"] = out["markdown"].map(mdcsv.markdown_to_csv)
-                yield out
 
     return kernel
 
