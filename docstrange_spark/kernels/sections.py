@@ -7,9 +7,13 @@ section split differs from the rendition parser's: a section's content
 *includes its own header line*, and a headerless document becomes a
 level-0 "Document Content" section (``server.py:94-145``).
 
-Token counting uses the reference's deterministic fallback
-``len(text) // 4`` (``server.py:86-87``) — the tiktoken path is an
-optional external dependency and is not part of golden semantics.
+Token counting defaults to the reference's deterministic fallback
+``len(text) // 4`` (``server.py:86-87``) so goldens and oracles stay
+engine-portable; the reference's tiktoken ``cl100k_base`` path
+(``server.py:74-87``) is available via ``set_token_counter("tiktoken")``
+when the optional dependency is importable — the encoder is created
+once per process and batch-encodes, exactly the executor-singleton
+pattern the reference uses for its lazily-initialized encoder.
 """
 
 from __future__ import annotations
@@ -24,8 +28,35 @@ TOKENS_MEDIUM = 32000
 TOKENS_LARGE = 128000
 
 
-def count_tokens(text: str) -> int:
+def _approx_count(text: str) -> int:
     return len(text) // 4
+
+
+_counter = _approx_count
+
+
+def set_token_counter(mode: str = "approx") -> bool:
+    """Select the token counter: 'approx' (default, golden semantics) or
+    'tiktoken' (cl100k_base, reference server.py:74-87). Returns True if
+    the requested mode is active — 'tiktoken' falls back to approx when
+    the library is missing, mirroring the reference's try/except."""
+    global _counter
+    if mode == "tiktoken":
+        try:
+            import tiktoken
+
+            enc = tiktoken.get_encoding("cl100k_base")
+            _counter = lambda text: len(enc.encode(text))  # noqa: E731
+            return True
+        except Exception:
+            _counter = _approx_count
+            return False
+    _counter = _approx_count
+    return True
+
+
+def count_tokens(text: str) -> int:
+    return _counter(text)
 
 
 def split_sections(markdown_content: str) -> list[dict[str, Any]]:

@@ -162,6 +162,46 @@ def search_relational(
     )
 
 
+def search_over_sections(
+    sections: DataFrame,
+    query: str,
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """N5 production path: search a PRE-MATERIALIZED section table.
+
+    ``search_relational`` is self-contained (re-derives sections from
+    markdown: 4 exchanges + a range join); at corpus scale the section
+    table is materialized once and queried many times, so this variant
+    reconstructs lines from section content (line_no = start_line +
+    position), carries the enclosing title with the row (NO join), and
+    needs a single exchange (the per-doc context window). Context still
+    crosses section boundaries because sections partition the document's
+    lines contiguously. Covers sectioned content — identical to
+    ``search_relational`` for any document whose first line is a header
+    (pre-first-header lines belong to no section in MCP semantics).
+    """
+    lines = sections.select(
+        "doc_id",
+        F.col("title").alias("section"),
+        "start_line",
+        F.posexplode(F.split("content", "\n")).alias("rel", "line"),
+    ).withColumn("line_no", F.col("start_line") + F.col("rel"))
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    ctx = lines.withColumn(
+        "context",
+        F.concat_ws("\n", F.collect_list("line").over(w.rowsBetween(-2, 2))),
+    )
+    needle = query if case_sensitive else query.lower()
+    hay = F.col("line") if case_sensitive else F.lower(F.col("line"))
+    return ctx.where(F.instr(hay, needle) > 0).select(
+        "doc_id",
+        (F.col("line_no") + 1).alias("line_number"),
+        F.col("line").alias("line_content"),
+        "section",
+        "context",
+    )
+
+
 def doc_info_relational(sections: DataFrame) -> DataFrame:
     """N9: per-document token distribution over the section table."""
     return sections.groupBy("doc_id").agg(
