@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed plan string; after AQE finalizes (an action ran), the
+    string echoes the pre-adaptive plan under '== Initial Plan ==' —
+    drop that echo so node counts reflect the plan that actually ran."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def optimized_plan(df: DataFrame) -> str:
