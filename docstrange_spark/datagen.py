@@ -496,3 +496,40 @@ def fixture_spans(spark, include_mega: bool = False):
     rows = fixture_docs(include_mega=include_mega)
     pdf = pd.DataFrame(rows, columns=["doc_id", "spans"])
     return spark.createDataFrame(pdf, schema=SPAN_SCHEMA_DDL)
+
+
+def synth_media(i: int) -> tuple[str, str, bytes]:
+    """One deterministic media payload per id: BMP gradient / PPM bands /
+    WAV sine, cycling by i % 3 — REAL encoded files (pure numpy/stdlib
+    encoders from the multimodal operator), so decode paths are
+    exercised on genuine format bytes."""
+    from docstrange_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng((SEED << 32) ^ (0x5EED ^ i))
+    if i % 3 == 0:
+        h, w = 6 + i % 5, 8 + i % 7
+        img = (
+            np.add.outer(np.arange(h) * 9, np.arange(w) * 5)[:, :, None]
+            + np.arange(3) * (i % 31)
+        ).astype(np.uint8)
+        return f"media-{i:06d}", "image", mm.encode_bmp(img)
+    if i % 3 == 1:
+        h, w = 5 + i % 4, 7 + i % 6
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        return f"media-{i:06d}", "image", mm.encode_ppm(img)
+    n, rate = 400 + (i % 100), 8000
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(2 * np.pi * (200 + (i % 50) * 10) * t)
+    return f"media-{i:06d}", "audio", mm.encode_wav(x.astype(np.float32), rate)
+
+
+def media_table(spark, n: int = 30):
+    """Deterministic media table (media_ref, kind, payload, meta)."""
+    from docstrange_spark.operators.multimodal import MEDIA_SCHEMA_DDL
+
+    rows = []
+    for i in range(n):
+        ref, kind, payload = synth_media(i)
+        rows.append((ref, kind, bytearray(payload), {"source": "synth"}))
+    pdf = pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)

@@ -1,0 +1,81 @@
+"""Multimodal decode is REAL for the dependency-free formats: BMP
+(24-bit BI_RGB), netpbm P6/P5, and 16-bit PCM WAV — round-tripped
+through our own encoders, featurized and resized through the Spark
+kernels on genuine format bytes. Only compressed codecs stay stubbed."""
+
+import numpy as np
+import pytest
+
+from docstrange_spark import datagen
+from docstrange_spark.operators import multimodal as mm
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    out = mm.decode_bmp(mm.encode_bmp(img))
+    assert np.array_equal(out, img)
+    assert mm.sniff_format(mm.encode_bmp(img)) == "bmp"
+
+
+def test_ppm_roundtrip_exact_and_comments():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+    # header with a comment line still parses
+    with_comment = b"P6\n# a comment\n6 4\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_ppm(with_comment), img)
+    gray = rng.integers(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(gray)), gray)
+
+
+def test_wav_roundtrip_16bit():
+    rate = 8000
+    x = (np.sin(2 * np.pi * 440 * np.arange(200) / rate) * 0.25).astype(np.float32)
+    decoded, got_rate = mm.decode_wav(mm.encode_wav(x, rate))
+    assert got_rate == rate and decoded.shape == (200, 1)
+    assert np.max(np.abs(decoded[:, 0] - x)) < 1 / 32767
+
+
+def test_resize_nearest_semantics():
+    img = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+    up = mm.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 10
+    assert up[3, 0, 0] == 20 and up[3, 3, 0] == 30
+
+
+def test_extract_features_real_decode(spark):
+    media = datagen.media_table(spark, n=12)
+    out = {r["media_ref"]: r for r in mm.extract_features(media).collect()}
+    assert len(out) == 12
+    for i in range(12):
+        r = out[f"media-{i:06d}"]
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert all(np.isfinite(r["features"]))
+        if i % 3 == 0:
+            assert r["format"] == "bmp"
+            assert (r["height"], r["width"]) == (6 + i % 5, 8 + i % 7)
+        elif i % 3 == 1:
+            assert r["format"] == "ppm"
+        else:
+            assert r["format"] == "wav"
+            assert r["height"] == 400 + (i % 100)  # samples
+            # rms of a 0.5-amplitude sine ~ 0.35
+            assert 0.3 < r["features"][3] < 0.4
+
+
+def test_resize_images_kernel(spark):
+    media = datagen.media_table(spark, n=6)
+    thumbs = mm.resize_images(media, height=3, width=4).collect()
+    assert len(thumbs) == 4  # 6 ids -> 4 images, 2 wavs skipped
+    for t in thumbs:
+        img = mm.decode_ppm(bytes(t["thumb"]))
+        assert img.shape == (3, 4, 3)
+
+
+def test_unknown_format_honest_error():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG\r\n\x1a\n garbage")
+    fake = mm.decode_media(b"\x89PNG junk", fake=True)
+    assert len(fake) == mm.FEATURE_DIM
