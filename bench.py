@@ -112,6 +112,14 @@ def run_aux_queries(spark, sf_dir: str, out_path: str) -> dict[str, float]:
     times["search"], _ = timed(
         lambda: navigation.search_relational(md, "query").count()
     )
+    # production search path: section table materialized once (untimed,
+    # amortized across queries at scale), then searched join-free
+    secs_path = os.path.join(TMP, "bench_sections")
+    navigation.sections_relational(md).write.mode("overwrite").parquet(secs_path)
+    secs = spark.read.parquet(secs_path)
+    times["search_materialized"], _ = timed(
+        lambda: navigation.search_over_sections(secs, "query").count()
+    )
     times["dedup_minhash_lsh"], _ = timed(
         lambda: dedup.lsh_candidate_pairs(docs).count()
     )
@@ -120,6 +128,9 @@ def run_aux_queries(spark, sf_dir: str, out_path: str) -> dict[str, float]:
     )
     times["knn_bruteforce"], _ = timed(
         lambda: similarity.knn_bruteforce(emb, [0, 1, 2, 3, 4], 10).count()
+    )
+    times["knn_lsh"], _ = timed(
+        lambda: similarity.knn_lsh(emb, [0, 1, 2, 3, 4], 10).count()
     )
     return times
 
