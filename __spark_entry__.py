@@ -265,6 +265,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
         )
 
+    def q_knn_ivf(spark, sf_dir):
+        # IVF ANN with the deterministic md5 coarse quantizer (the
+        # untrained/oracle configuration; production trains via ivf_train)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.knn_ivf(
+            emb, [0, 1, 2, 3, 4], top_k=10, n_cells=16, nprobe=4
+        )
+
+    def q_embedding_dups(spark, sf_dir):
+        # embedding-cosine near-dup pairs over LSH-bucket candidates
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.embedding_dedup_pairs(
+            emb, threshold=0.3, n_planes=8, n_tables=8
+        )
+
     def q_knn_lsh(spark, sf_dir):
         # multi-table hyperplane LSH; planes are md5-derived so the
         # DuckDB oracle rebuilds the identical bucketing
@@ -372,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "embedding_dups": q_embedding_dups,
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
         "events_by_user": q_events_by_user,
@@ -1118,6 +1135,104 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM ranked WHERE rank <= 10""",
+        # IVF ANN: md5-derived coarse centroids, argmin-L2 cell
+        # assignment, nprobe=4 probing, exact cosine re-rank
+        "knn_ivf": r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+cent AS (
+  SELECT c, i,
+         ('0x' || substr(md5('ivf|' || c || '|' || (i - 1)), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 15)) AS uc(c),
+       unnest(generate_series(1, 64)) AS ui(i)
+),
+dist AS (
+  SELECT e.vec_id, ct.c, sum(ct.w * ct.w) - 2 * sum(e.v * ct.w) AS d
+  FROM ex e JOIN cent ct ON ct.i = e.i
+  GROUP BY 1, 2
+),
+ranked_cells AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, c AS cell
+  FROM ranked_cells WHERE rn <= 4 AND vec_id IN (0, 1, 2, 3, 4)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN ex a ON a.vec_id = c.query_id
+  JOIN ex b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dot / (qn.nrm * nn.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM rk WHERE rank <= 10""",
+        # embedding-cosine near-dup pairs over LSH-bucket candidates
+        "embedding_dups": r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+planes AS (
+  SELECT t, p, i,
+         ('0x' || substr(md5(t || '|' || p || '|' || (i - 1)), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 7)) AS ut(t),
+       unnest(generate_series(0, 7)) AS up(p),
+       unnest(generate_series(1, 64)) AS ui(i)
+),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, sum(e.v * pl.w) AS s
+  FROM ex e JOIN planes pl ON pl.i = e.i
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+           AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+prs AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.doc_a, p.doc_b, sum(x.v * y.v) AS dot
+  FROM prs p
+  JOIN ex x ON x.vec_id = p.doc_a
+  JOIN ex y ON y.vec_id = p.doc_b AND y.i = x.i
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.doc_a
+JOIN norms nb ON nb.vec_id = d.doc_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.3""",
         "lineitem_pricing": r"""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

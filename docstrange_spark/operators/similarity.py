@@ -127,6 +127,241 @@ def _bucket_udf(n_planes: int, n_tables: int):
     return buckets
 
 
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) for every
+    LSH-bucket-sharing pair with rounded cosine >= threshold, a < b.
+
+    The bucket self-join replaces the O(n^2) all-pairs comparison — at
+    corpus scale candidates are bucket-local and the exact cosine runs
+    only on them (the same LSH→exact re-rank shape as MinHash→Jaccard).
+    ``max_bucket_size`` chain-caps degenerate buckets (e.g. a corpus of
+    zero vectors) exactly like ``dedup.lsh_candidate_pairs``: oversized
+    buckets link consecutive members only, preserving the cluster's
+    connected component with linear output."""
+    flat = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec"))).select(
+        "vid", "vec", "nrm",
+        F.posexplode(_bucket_udf(n_planes, n_tables)(F.col("vec"))).alias(
+            "tbl", "bucket"
+        ),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("tbl", "bucket")
+        sized = flat.withColumn("bsize", F.count("*").over(w))
+        small = sized.where(F.col("bsize") <= max_bucket_size).drop("bsize")
+        wchain = Window.partitionBy("tbl", "bucket").orderBy("vid")
+        big = sized.where(F.col("bsize") > max_bucket_size)
+        chain = big.select(
+            "tbl", "bucket",
+            F.lag("vid").over(wchain).alias("vid_a"),
+            F.lag("vec").over(wchain).alias("vec_a"),
+            F.lag("nrm").over(wchain).alias("nrm_a"),
+            F.col("vid").alias("vid_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        ).where(F.col("vid_a").isNotNull())
+        joined = _bucket_pair_join(small).unionByName(
+            chain.select("vid_a", "vec_a", "nrm_a", "vid_b", "vec_b", "nrm_b")
+        )
+    else:
+        joined = _bucket_pair_join(flat)
+    scored = joined.select(
+        F.col("vid_a").alias("doc_a"),
+        F.col("vid_b").alias("doc_b"),
+        F.round(
+            _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+            4,
+        ).alias("cosine"),
+    )
+    return (
+        scored.where(F.col("cosine") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+def _bucket_pair_join(flat: DataFrame) -> DataFrame:
+    a = flat.select(
+        "tbl", "bucket",
+        F.col("vid").alias("vid_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = flat.select(
+        "tbl", "bucket",
+        F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return a.join(b, ["tbl", "bucket"]).where(F.col("vid_a") < F.col("vid_b")).select(
+        "vid_a", "vec_a", "nrm_a", "vid_b", "vec_b", "nrm_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse-quantizer cells + nprobe search (the classic inverted-file
+# ANN construction — public knowledge)
+
+
+def ivf_centroids(dim: int, n_cells: int = 16) -> np.ndarray:
+    """Deterministic md5-derived centroids (same portable construction
+    as the hyperplanes, key prefix 'ivf'): the untrained starting point
+    and the oracle-checkable configuration. Production would pass
+    ``ivf_train(...)`` output instead."""
+    key = (-n_cells, 0, dim)  # distinct cache namespace from hyperplanes
+    mat = _PLANE_CACHE.get(key)
+    if mat is None:
+        import hashlib
+
+        vals = np.empty((n_cells, dim), dtype=np.float64)
+        for c in range(n_cells):
+            for i in range(dim):
+                h = hashlib.md5(f"ivf|{c}|{i}".encode()).hexdigest()[:8]
+                vals[c, i] = int(h, 16) / 2**31 - 1.0
+        mat = _PLANE_CACHE[key] = vals
+    return mat
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """vec -> the nprobe nearest cell ids (squared-L2, ties by cell id).
+    The centroid matrix ships in the UDF closure (k x dim floats — for
+    very large k, move it to a Spark broadcast)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids)
+    cn = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = cn[None, :] - 2.0 * (X @ C.T)  # ||x||^2 constant per row
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    top_k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: every vector is assigned to its nearest
+    coarse cell; a query probes its ``nprobe`` nearest cells and exact-
+    re-ranks only their members. Same output schema as the other knn
+    ops. One equi-join on cell id — never a cross product; recall is
+    tuned by nprobe (nprobe = n_cells degenerates to exact search)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    if centroids is None:
+        dim_probe = _probe_udf_lazy(n_cells, nprobe)
+        cells = base.withColumn("probes", dim_probe(F.col("vec")))
+    else:
+        cells = base.withColumn(
+            "probes", _probe_udf(centroids, nprobe)(F.col("vec"))
+        )
+    assigned = cells.select(
+        "vid", "vec", "nrm", F.element_at("probes", 1).alias("cell")
+    )
+    q = cells.where(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.explode("probes").alias("cell"),
+    )
+    cand = assigned.join(
+        F.broadcast(q), (assigned["cell"] == q["cell"]) & (F.col("vid") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 4
+        ).alias("cosine"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
+
+
+def _probe_udf_lazy(n_cells: int, nprobe: int):
+    """Probe UDF building the default md5 centroids on the worker from
+    the row dimensionality (no driver-side action)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        C = ivf_centroids(X.shape[1], n_cells)
+        cn = (C * C).sum(axis=1)
+        d = cn[None, :] - 2.0 * (X @ C.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means for IVF centroids: assign via the
+    probe UDF (map-side), recompute means relationally (posexplode +
+    groupBy(cell, dim) with partial aggregation), pull only the k x dim
+    centroid matrix to the driver per iteration. Deterministic: md5
+    centroids seed the first assignment; empty cells keep their previous
+    centroid."""
+    base = embeddings.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    # training is a sequence of jobs by nature; one tiny action reads dim
+    dim = base.select(F.size("vec").alias("d")).limit(1).collect()[0]["d"]
+    C = ivf_centroids(dim, n_cells)
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "cell", F.element_at(_probe_udf(C, 1)(F.col("vec")), 1)
+        )
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        nxt = C.copy()
+        for r in means:
+            nxt[r["cell"], r["i"]] = r["m"]
+        C = nxt
+    return C
+
+
 def knn_lsh(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -74,3 +74,48 @@ def test_knn_lsh_candidates_subset_of_brute_cosines(spark):
     assert len(ls) > 0
     for _, row in ls.iterrows():
         assert exact[row.neighbor_id] == pytest.approx(row.cosine, abs=1e-9)
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe = n_cells degenerates IVF to exact search: results must
+    equal knn_bruteforce rank-for-rank."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    exact = similarity.knn_bruteforce(emb, [0, 1], top_k=10).orderBy(
+        "query_id", "rank"
+    ).collect()
+    ivf = similarity.knn_ivf(
+        emb, [0, 1], top_k=10, n_cells=8, nprobe=8
+    ).orderBy("query_id", "rank").collect()
+    assert ivf == exact
+
+
+def test_ivf_train_reduces_inertia(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+
+    def inertia(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).sum())
+
+    C0 = similarity.ivf_centroids(X.shape[1], 8)
+    C1 = similarity.ivf_train(emb, n_cells=8, iters=2)
+    assert inertia(C1) < inertia(C0)
+
+
+def test_embedding_dedup_identical_vectors_and_cap(spark):
+    import numpy as np
+    import pandas as pd
+
+    n = 100
+    vec = [0.1] * 8
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    # identical vectors share every bucket; cap 10 -> chain pairing
+    capped = similarity.embedding_dedup_pairs(
+        emb, threshold=0.9, n_planes=4, n_tables=2, max_bucket_size=10
+    ).collect()
+    assert len(capped) == n - 1  # consecutive chain, connected component
+    assert all(r["cosine"] == 1.0 for r in capped)
+    assert {r["doc_b"] for r in capped} == set(range(1, n))
