@@ -247,6 +247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return text_analysis.fingerprint(_docs(spark, sf_dir))
 
+    def q_winnow(spark, sf_dir):
+        # MOSS winnowing fingerprints: k-gram hash window minima —
+        # whole operator in codegen (window + distinct, no UDF)
+        return text_analysis.winnow_fingerprints(
+            _docs(spark, sf_dir), k=5, window=4
+        )
+
     def q_lang_stats(spark, sf_dir):
         return (
             _docs(spark, sf_dir)
@@ -384,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnow": q_winnow,
         "lang_stats": q_lang_stats,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1049,6 +1057,24 @@ SELECT doc_id,
        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_full,
        md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)) AS fp_prefix64
 FROM documents""",
+        # MOSS winnowing: window minima over md5'd character k-grams
+        "winnow": r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, md5(substr(norm, i, 5)) AS h,
+         length(norm) - 5 + 1 AS n_grams
+  FROM t, unnest(generate_series(1, length(norm) - 5 + 1)) AS u(i)
+),
+m AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - 4 + 1""",
         "lang_stats": r"""
 SELECT lang,
        count(*) AS n_docs,

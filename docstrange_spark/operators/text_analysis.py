@@ -9,7 +9,7 @@ no engine-specific hashes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
@@ -101,4 +101,51 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fp_full"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    scheme, public knowledge): hash every character k-gram of the
+    normalized text, slide a window of ``window`` consecutive hashes,
+    keep each window's minimum — guaranteeing a shared fingerprint for
+    any match of length >= k + window - 1, with density 2/(window+1).
+
+    Returns distinct (doc_id, fp) rows. Hashes are md5-hex so the min
+    (lexicographic) is engine-portable and the whole operator stays in
+    codegen: one per-doc window pass + a distinct — no UDF. Documents
+    shorter than k + window - 1 chars yield no fingerprints."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n_grams = F.length("norm") - F.lit(k) + 1
+    grams = df.select(F.col(id_col).alias("doc_id"), norm.alias("norm")).select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(
+            F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+        F.col("norm"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.md5(F.expr(f"substr(norm, pos, {k})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .where(F.col("pos") <= F.col("n_grams") - window + 1)
+        .select("doc_id", "fp")
+        .distinct()
     )

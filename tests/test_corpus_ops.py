@@ -209,3 +209,25 @@ def test_lsh_cap_noop_below_threshold(documents):
         for r in dedup.lsh_candidate_pairs(documents, max_bucket_size=10_000).collect()
     }
     assert capped == exact and exact
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing's core property: any substring match of length
+    >= k + window - 1 shares at least one fingerprint; disjoint texts
+    share none."""
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "completely unrelated words with zero overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = text_analysis.winnow_fingerprints(df, k=k, window=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
