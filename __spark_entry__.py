@@ -234,6 +234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf_dir):
         return dedup.simhash16(_docs(spark, sf_dir))
 
+    def q_dedup_clusters(spark, sf_dir):
+        # LSH pairs -> connected components -> keeper per cluster
+        return dedup.dedup_clusters(_docs(spark, sf_dir)).select(
+            "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
+        )
+
+    def q_search_materialized(spark, sf_dir):
+        # the production N5 path: search over the section table, no join
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        secs = navigation.sections_relational(md)
+        return navigation.search_over_sections(secs, "query").select(
+            "doc_id", "line_number", "line_content", "section", "context"
+        )
+
     # -- text analysis ----------------------------------------------------
     def q_token_stats(spark, sf_dir):
         return text_analysis.token_stats(_docs(spark, sf_dir))
@@ -387,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "jaccard_sample": q_jaccard_sample,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "search_materialized": q_search_materialized,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -757,7 +773,7 @@ _LANG_CASE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "extract_markdown": MD_CTE + "SELECT doc_id, markdown FROM md",
         "extract_table_md": (
             TABLE_CTE
@@ -1294,3 +1310,33 @@ SELECT user_id,
          AS n_after_click
 FROM w GROUP BY user_id""",
     }
+
+    # the production search path returns exactly the self-contained
+    # search's rows on fully-sectioned documents (this corpus)
+    out["search_materialized"] = out["search"]
+    # dedup clustering: min-label transitive closure over the banded
+    # candidate pairs (recursive CTE; singletons are their own rep)
+    out["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _SIG_CTE[len("WITH ") :]
+        + ",\nbands AS ("
+        + _BANDS_SQL
+        + """),
+prs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION ALL SELECT doc_b, doc_a FROM prs
+),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY n"""
+    )
+    return out

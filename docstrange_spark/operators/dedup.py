@@ -163,6 +163,69 @@ def lsh_candidate_pairs(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph by iterative
+    min-label propagation: every vertex converges to the smallest id
+    reachable from it. Returns (doc_id, cluster_rep); singletons map to
+    themselves — cluster_rep is the dedup keeper.
+
+    Scale shape: each round is one join + one partial-aggregated groupBy
+    (2 shuffles) over the EDGE list, not the corpus; rounds needed =
+    graph diameter (near-dup clusters are shallow — boilerplate families
+    converge in 2-3 rounds). ``localCheckpoint`` cuts lineage each round
+    so the plan stays constant-size; the loop stops at the first round
+    with zero label changes."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["vid"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        nxt = (
+            labels.join(prop, labels["vid"] == prop["dst"], "left")
+            .select(
+                "vid",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.where(F.col("new_label") != F.col("old_label")).count()
+        labels = nxt.select("vid", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("vid").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → (doc_id, cluster_rep) for EVERY document
+    (singletons are their own rep). The keeper-per-cluster output a
+    dedup pipeline actually materializes."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col)
+    return connected_components(df.select(id_col), pairs, id_col)
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

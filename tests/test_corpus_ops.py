@@ -231,3 +231,17 @@ def test_winnow_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_connected_components_transitivity(spark):
+    """a-b and b-c in the pair graph must land all three in one cluster
+    labeled by the smallest id; isolated vertices stay their own rep."""
+    verts = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.connected_components(verts, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2}
