@@ -29,7 +29,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docstrange_spark.operators import extract, spanize
 
-    return extract.extract(spanize.spanize(_docs(spark, sf_dir)))
+    # no contract query consumes the block stream: skip building AND
+    # Arrow-shipping out_spans (the fattest column) — ~15% off the
+    # kernel stage
+    return extract.extract(
+        spanize.spanize(_docs(spark, sf_dir)), include_spans=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -158,42 +163,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_extract_table_md(spark, sf_dir):
         # grid-pivot path (O13/O14) end-to-end through the kernel
         spans = spanize.spanize_tables(_docs(spark, sf_dir))
-        return extract.extract(spans).select("doc_id", "markdown")
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
     def q_extract_table_csv(spark, sf_dir):
         # CSV rendition (R5) end-to-end, fused in the kernel
         spans = spanize.spanize_tables(_docs(spark, sf_dir))
-        return extract.extract(spans, formats=("csv",)).select("doc_id", "csv")
+        return extract.extract(spans, formats=("csv",), include_spans=False).select("doc_id", "csv")
 
     def q_extract_list_md(spark, sf_dir):
         # list rendering path (ul/ol markers + indent) end-to-end
         spans = spanize.spanize_lists(_docs(spark, sf_dir))
-        return extract.extract(spans).select("doc_id", "markdown")
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
     # -- non-direct kernel profiles, oracle-checked end-to-end ------------
     def q_extract_markup_md(spark, sf_dir):
         # markup profile: DOM rebuild + script/style drop + title
         # promotion + whitelist/density main-content selection (O1-O4)
         spans = spanize.spanize_markup(_docs(spark, sf_dir))
-        return extract.extract(spans).select("doc_id", "markdown")
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
     def q_extract_layout_md(spark, sf_dir):
         # layout profile: reading-order sort, offset-adjacency grouping,
         # smart join, block classification, heading levels, table rows
         # (O5-O11)
         spans = spanize.spanize_layout(_docs(spark, sf_dir))
-        return extract.extract(spans).select("doc_id", "markdown")
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
     def q_extract_ocr_md(spark, sf_dir):
         # ocr profile: layout + the lossy '|0 1' -> 'I o l' substitution
         # chain applied before classification (O8)
         spans = spanize.spanize_ocr(_docs(spark, sf_dir))
-        return extract.extract(spans).select("doc_id", "markdown")
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
     def q_extract_docx_md(spark, sf_dir):
         # DOCX semantics: 20-row table cap + merged-cell warning (O16)
         spans = spanize.spanize_docx(_docs(spark, sf_dir))
-        return extract.extract(spans).select("doc_id", "markdown")
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
     # -- dedup ------------------------------------------------------------
     def q_dedup_exact(spark, sf_dir):
