@@ -59,6 +59,15 @@ MERGED_CELL_WARNING = (
 )
 
 
+def _run_bounds(bids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of the contiguous equal-value runs in a monotonic
+    block-id array — the slice-reduce primitive for run aggregation."""
+    cuts = np.flatnonzero(np.diff(bids)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(bids)]))
+    return starts, ends
+
+
 def doc_class(doc_id: str) -> str:
     return doc_id.split("-", 1)[0]
 
@@ -156,20 +165,25 @@ def _render_simple_lines(flat: pd.DataFrame) -> pd.Series:
 # table grids
 
 
-def _render_table(cells: pd.DataFrame, capped: bool) -> list[tuple[str, str, str]]:
-    """Pivot one table's cell spans into markdown rows. Returns blocks as
+def _render_table(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    texts: np.ndarray,
+    tid: int,
+    capped: bool,
+    merged_any: bool,
+) -> list[tuple[str, str, str]]:
+    """Pivot one table's cell spans (pure numpy arrays — the cell text
+    is pre-cleaned batch-wide) into markdown rows. Returns blocks as
     (kind, text, media_ref) — notice lines precede the table like the
     reference emits them as separate content parts."""
-    rows = cells["_trow"].to_numpy()
-    cols = cells["_tcol"].to_numpy()
     n_rows = int(rows.max()) + 1
     n_cols = int(cols.max()) + 1
     grid = np.full((n_rows, n_cols), "", dtype=object)
-    grid[rows, cols] = cells["text"].str.replace("\n", " ", regex=False).str.strip()
+    grid[rows, cols] = texts
 
     blocks: list[tuple[str, str, str]] = []
-    tid = cells["_tid"].iat[0]
-    if capped and bool(cells["_tmerged"].any()):
+    if capped and merged_any:
         blocks.append(("notice", MERGED_CELL_WARNING, ""))
     limit = n_rows
     if capped and n_rows > DOCX_ROW_LIMIT:
@@ -224,10 +238,13 @@ def assemble_batch(
     # -- markup profile: DOM strip per doc, re-inject filtered spans -------
     is_markup = flat["profile"].eq("markup")
     if is_markup.any():
-        kept_parts: list[pd.DataFrame] = [flat[~is_markup]]
         msorted = flat[is_markup].sort_values(
             ["doc_idx", "offset"], kind="stable"
         )
+        # accumulate ALL markup docs' surviving spans into flat tuple
+        # lists and build ONE frame — per-doc DataFrames + column
+        # assignment dominated this path's profile (~20% of the kernel)
+        mrows: list[tuple] = []
         for doc_idx, grp in msorted.groupby("doc_idx", sort=False):
             spans = [
                 {"kind": k, "text": t, "media_ref": m, "offset": o}
@@ -237,18 +254,18 @@ def assemble_batch(
                 )
             ]
             title, content = boilerplate.strip_boilerplate(spans)
-            rows = []
             if title:
-                rows.append(
-                    {"kind": "heading", "text": title, "media_ref": "h1", "offset": -1}
-                )
-            rows.extend(content)
-            sub = pd.DataFrame(rows, columns=["kind", "text", "media_ref", "offset"])
-            sub["doc_idx"] = doc_idx
-            sub["profile"] = "markup"
-            sub["capped"] = False
-            kept_parts.append(sub)
-        flat = pd.concat(kept_parts, ignore_index=True)
+                mrows.append(("heading", title, "h1", -1, doc_idx))
+            mrows.extend(
+                (sp["kind"], sp["text"], sp["media_ref"], sp["offset"], doc_idx)
+                for sp in content
+            )
+        sub = pd.DataFrame(
+            mrows, columns=["kind", "text", "media_ref", "offset", "doc_idx"]
+        )
+        sub["profile"] = "markup"
+        sub["capped"] = False
+        flat = pd.concat([flat[~is_markup], sub], ignore_index=True)
         # web-text cleanup: collapse intra-line whitespace (O4)
         m = flat["profile"].eq("markup") & flat["kind"].eq("text")
         if m.any():
@@ -324,17 +341,31 @@ def assemble_batch(
             )
         out_parts.append(sg)
 
-    # run kinds whose markdown is the newline-join of their lines
+    # run kinds whose markdown is the newline-join of their lines.
+    # block_id is a cumsum over the (doc, offset)-sorted frame, so every
+    # kind-subset's groups are CONTIGUOUS runs: slice-reduce over numpy
+    # arrays instead of pandas python-agg groupby (which materializes a
+    # Series per group — measured ~30% of the kernel on this path).
     joinable = flat[flat["kind"].isin(["list_item", "blockquote"])]
     if len(joinable):
-        agg = joinable.groupby("block_id", sort=False).agg(
-            doc_idx=("doc_idx", "first"),
-            kind=("kind", "first"),
-            text=("line", "\n".join),
+        starts, ends = _run_bounds(joinable["block_id"].to_numpy())
+        lines = joinable["line"].to_numpy()
+        out_parts.append(
+            pd.DataFrame(
+                {
+                    "block_id": joinable["block_id"].to_numpy()[starts],
+                    "doc_idx": joinable["doc_idx"].to_numpy()[starts],
+                    "kind": [
+                        BLOCK_KIND_BY_SPAN[k]
+                        for k in joinable["kind"].to_numpy()[starts]
+                    ],
+                    "text": [
+                        "\n".join(lines[s:e]) for s, e in zip(starts, ends)
+                    ],
+                    "media_ref": "",
+                }
+            )
         )
-        agg["kind"] = agg["kind"].map(BLOCK_KIND_BY_SPAN)
-        agg["media_ref"] = ""
-        out_parts.append(agg.reset_index())
 
     # direct/markup text spans: each its own paragraph block
     direct_text = flat[flat["kind"].eq("text") & ~flat["profile"].isin(["layout", "ocr"])]
@@ -347,12 +378,19 @@ def assemble_batch(
     # layout/ocr text runs: smart join -> (ocr clean) -> classify -> render
     layout_text = flat[flat["kind"].eq("text") & flat["profile"].isin(["layout", "ocr"])]
     if len(layout_text):
-        joined = layout_text.groupby("block_id", sort=False).agg(
-            doc_idx=("doc_idx", "first"),
-            profile=("profile", "first"),
-            texts=("text", list),
+        starts, ends = _run_bounds(layout_text["block_id"].to_numpy())
+        raw = layout_text["text"].to_numpy()
+        joined = pd.DataFrame(
+            {
+                "block_id": layout_text["block_id"].to_numpy()[starts],
+                "doc_idx": layout_text["doc_idx"].to_numpy()[starts],
+                "profile": layout_text["profile"].to_numpy()[starts],
+                "para": [
+                    textproc.smart_join(list(raw[s:e]))
+                    for s, e in zip(starts, ends)
+                ],
+            }
         )
-        joined["para"] = joined["texts"].map(textproc.smart_join)
         ocr_mask = joined["profile"].eq("ocr")
         if ocr_mask.any():
             joined.loc[ocr_mask, "para"] = textproc.ocr_postprocess(
@@ -382,34 +420,54 @@ def assemble_batch(
             joined.reset_index()[["block_id", "doc_idx", "kind", "text", "media_ref"]]
         )
 
-    # code runs: join lines, wrap in fences
+    # code runs: join lines, wrap in fences (same slice-reduce as above)
     code = flat[flat["kind"].eq("code")]
     if len(code):
-        agg = code.groupby("block_id", sort=False).agg(
-            doc_idx=("doc_idx", "first"),
-            lang=("media_ref", "first"),
-            body=("line", "\n".join),
-        )
-        agg["text"] = "```" + agg["lang"] + "\n" + agg["body"] + "\n```"
-        agg["kind"] = "code"
-        agg = agg.rename(columns={"lang": "media_ref"})
+        starts, ends = _run_bounds(code["block_id"].to_numpy())
+        lines = code["line"].to_numpy()
+        langs = code["media_ref"].to_numpy()[starts]
         out_parts.append(
-            agg.reset_index()[["block_id", "doc_idx", "kind", "text", "media_ref"]]
+            pd.DataFrame(
+                {
+                    "block_id": code["block_id"].to_numpy()[starts],
+                    "doc_idx": code["doc_idx"].to_numpy()[starts],
+                    "kind": "code",
+                    "text": [
+                        "```" + lang + "\n" + "\n".join(lines[s:e]) + "\n```"
+                        for lang, s, e in zip(langs, starts, ends)
+                    ],
+                    "media_ref": langs,
+                }
+            )
         )
 
-    # table runs: pivot per table
+    # table runs: pivot per table (cell text cleaned batch-wide, the
+    # per-table work is numpy-only slice-reduce)
     tables = flat[flat["kind"].eq("table_cell")]
     if len(tables):
+        clean = (
+            tables["text"].str.replace("\n", " ", regex=False).str.strip().to_numpy()
+        )
+        bids = tables["block_id"].to_numpy()
+        docs_np = tables["doc_idx"].to_numpy()
+        caps = tables["capped"].to_numpy()
+        rows_np = tables["_trow"].to_numpy()
+        cols_np = tables["_tcol"].to_numpy()
+        tids = tables["_tid"].to_numpy()
+        merged = tables["_tmerged"].to_numpy()
         trows = []
-        for block_id, grp in tables.groupby("block_id", sort=False):
-            doc = int(grp["doc_idx"].iat[0])
-            capped = bool(grp["capped"].iat[0])
-            for j, (k, t, r) in enumerate(_render_table(grp, capped)):
+        for s, e in zip(*_run_bounds(bids)):
+            for j, (k, t, r) in enumerate(
+                _render_table(
+                    rows_np[s:e], cols_np[s:e], clean[s:e],
+                    tids[s], bool(caps[s]), bool(merged[s:e].any()),
+                )
+            ):
                 # notices order before the table at the same block position
                 trows.append(
                     {
-                        "block_id": block_id + j / 10.0,
-                        "doc_idx": doc,
+                        "block_id": bids[s] + j / 10.0,
+                        "doc_idx": int(docs_np[s]),
                         "kind": k,
                         "text": t,
                         "media_ref": r,
@@ -423,29 +481,35 @@ def assemble_batch(
     else:
         all_blocks = pd.DataFrame(columns=["block_id", "doc_idx", "kind", "text", "media_ref"])
 
-    # -- per-doc assembly ---------------------------------------------------
-    md_by_doc = all_blocks.groupby("doc_idx")["text"].agg("\n\n".join)
-    markdown = pd.Series([""] * n_docs, dtype=object)
-    markdown.loc[md_by_doc.index] = md_by_doc.to_numpy()
-
-    counts = all_blocks.groupby("doc_idx").size()
-    n_blocks = pd.Series([0] * n_docs, dtype="int64")
-    n_blocks.loc[counts.index] = counts.to_numpy()
+    # -- per-doc assembly: doc_idx is nondecreasing in block_id order, so
+    # per-doc reduction is one contiguous slice pass (no pandas groupby)
+    markdown: list[str] = [""] * n_docs
+    n_blocks: list[int] = [0] * n_docs
+    spans_out: list[list[dict[str, Any]]] = [[] for _ in range(n_docs)]
+    if len(all_blocks):
+        docs_arr = all_blocks["doc_idx"].to_numpy()
+        texts_arr = all_blocks["text"].to_numpy()
+        if build_spans:
+            kinds_arr = all_blocks["kind"].to_numpy()
+            refs_arr = all_blocks["media_ref"].to_numpy()
+        for s, e in zip(*_run_bounds(docs_arr)):
+            d = int(docs_arr[s])
+            markdown[d] = "\n\n".join(texts_arr[s:e])
+            n_blocks[d] = e - s
+            if build_spans:
+                spans_out[d] = [
+                    {"kind": k, "text": t, "media_ref": r, "offset": j}
+                    for j, (k, t, r) in enumerate(
+                        zip(kinds_arr[s:e], texts_arr[s:e], refs_arr[s:e])
+                    )
+                ]
 
     out = {
         "doc_id": doc_ids.reset_index(drop=True),
-        "markdown": markdown,
+        "markdown": pd.Series(markdown, dtype=object),
     }
     if build_spans:
-        spans_out: list[list[dict[str, Any]]] = [[] for _ in range(n_docs)]
-        for doc_idx, grp in all_blocks.groupby("doc_idx", sort=False):
-            spans_out[int(doc_idx)] = [
-                {"kind": k, "text": t, "media_ref": r, "offset": j}
-                for j, (k, t, r) in enumerate(
-                    zip(grp["kind"], grp["text"], grp["media_ref"])
-                )
-            ]
         out["out_spans"] = spans_out
-    out["n_blocks"] = n_blocks
+    out["n_blocks"] = pd.Series(n_blocks, dtype="int64")
     out["profile"] = profiles
     return pd.DataFrame(out)
