@@ -348,6 +348,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
 
+    def q_sessions(spark, sf_dir):
+        # session-window aggregation (the streaming sessionizer run in
+        # batch mode — same plan, no state); epoch-us longs keep the
+        # cross-engine compare integer-exact
+        from docstrange_spark import streaming
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        s = streaming.sessionize_events(ev, gap="6 hours")
+        return s.select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+
     def q_events_by_user(spark, sf_dir):
         from pyspark.sql import Window
 
@@ -421,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
         "events_by_user": q_events_by_user,
+        "sessions": q_sessions,
         "renditions": q_renditions,
         "chunks": q_chunks,
         "hierarchy": q_hierarchy,
@@ -1300,6 +1317,33 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10""",
+        # session windows via gaps-and-islands: new session when the gap
+        # to the previous event reaches the 6h timeout (Spark's
+        # session_window end = last event + gap)
+        "sessions": r"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 6 HOUR) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid""",
         "events_by_user": r"""
 WITH w AS (
   SELECT user_id, event_type, value,
