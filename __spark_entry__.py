@@ -1046,6 +1046,9 @@ SELECT doc_id, CAST("""
 SELECT doc_id,
        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens_ws,
        CAST(floor(length(text) / 4) AS BIGINT) AS n_tokens_est,
+       CAST(len(regexp_extract_all(lower(text),
+            ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS BIGINT)
+         AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents""",
         "quality": (

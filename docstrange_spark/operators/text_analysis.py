@@ -30,14 +30,24 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+# BPE-style pre-tokenizer (GPT-2-shaped, ASCII-simplified so the RE2 /
+# Java regex engines agree): a piece is an optional-leading-space run of
+# letters, digits, or other non-space symbols, or a whitespace run
+BPE_PIECE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace token count + the reference's ``len//4`` token estimate
-    (mcp server.py:86-87) + char count."""
+    """Whitespace token count, the reference's ``len//4`` token estimate
+    (mcp server.py:86-87), a BPE-ish pre-tokenizer piece count (the
+    budgeting signal a training pipeline actually wants), and chars."""
     toks = _tokens(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens_ws"),
         F.floor(F.length(text_col) / 4).cast("long").alias("n_tokens_est"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), 0)
+        ).cast("long").alias("n_tokens_bpe"),
         F.length(text_col).cast("long").alias("n_chars"),
     )
 
