@@ -266,6 +266,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return text_analysis.fingerprint(_docs(spark, sf_dir))
 
+    def q_corpus_filter(spark, sf_dir):
+        # the end-to-end curation pipeline a training corpus runs:
+        # quality gate + language gate + near-dup keeper selection,
+        # composed from the individual operators (three joins on doc_id)
+        docs = _docs(spark, sf_dir)
+        q = text_analysis.quality_score(docs).select("doc_id", "quality")
+        lang = text_analysis.lang_id(docs).select("doc_id", "lang_guess")
+        clusters = dedup.dedup_clusters(docs)
+        return (
+            docs.select("doc_id")
+            .join(q, "doc_id")
+            .join(lang, "doc_id")
+            .join(clusters, "doc_id")
+            .where(
+                (F.col("quality") >= 0.5)
+                & (F.col("lang_guess") == "en")
+                & (F.col("cluster_rep") == F.col("doc_id"))
+            )
+            .select("doc_id", "lang_guess", "quality")
+        )
+
     def q_winnow(spark, sf_dir):
         # MOSS winnowing fingerprints: k-gram hash window minima —
         # whole operator in codegen (window + distinct, no UDF)
@@ -429,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
+        "corpus_filter": q_corpus_filter,
         "lang_stats": q_lang_stats,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1390,5 +1412,14 @@ reach(n, l) AS (
 )
 SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY n"""
+    )
+    out["corpus_filter"] = (
+        "SELECT d.doc_id, l.lang_guess, q.quality\n"
+        "FROM documents d\n"
+        "JOIN (" + out["quality"] + ") q USING (doc_id)\n"
+        "JOIN (" + out["lang_id"] + ") l USING (doc_id)\n"
+        "JOIN (" + out["dedup_clusters"] + ") c USING (doc_id)\n"
+        "WHERE q.quality >= 0.5 AND l.lang_guess = 'en' "
+        "AND c.cluster_rep = d.doc_id"
     )
     return out
