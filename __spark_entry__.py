@@ -51,7 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from docstrange_spark.operators import extract, navigation, spanize
 
     docs = _docs(spark, "/root/testdata/sf0.001")
-    with_meta = extract.extract(spanize.spanize(docs), formats=("json", "meta"))
+    with_meta = extract.extract(
+        spanize.spanize(docs), formats=("json", "meta"), include_spans=False
+    )
     secs = navigation.sections_relational(with_meta.select("doc_id", "markdown"))
     info = navigation.doc_info_relational(secs)
     return (
@@ -1033,6 +1035,7 @@ prs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
   WHERE a.doc_id % 97 = 0
+  ORDER BY doc_a LIMIT 1000
 ),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter

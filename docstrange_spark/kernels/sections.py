@@ -39,7 +39,12 @@ def set_token_counter(mode: str = "approx") -> bool:
     """Select the token counter: 'approx' (default, golden semantics) or
     'tiktoken' (cl100k_base, reference server.py:74-87). Returns True if
     the requested mode is active — 'tiktoken' falls back to approx when
-    the library is missing, mirroring the reference's try/except."""
+    the library is missing, mirroring the reference's try/except.
+
+    This mutates a PROCESS-local global: on a cluster, call it inside
+    the executor (the navigation kernels take a ``token_mode`` argument
+    and do exactly that at batch start); calling it on the driver alone
+    does not reach Python workers."""
     global _counter
     if mode == "tiktoken":
         try:

@@ -174,12 +174,16 @@ def connected_components(
     reachable from it. Returns (doc_id, cluster_rep); singletons map to
     themselves — cluster_rep is the dedup keeper.
 
-    Scale shape: each round is one join + one partial-aggregated groupBy
-    (2 shuffles) over the EDGE list, not the corpus; rounds needed =
-    graph diameter (near-dup clusters are shallow — boilerplate families
-    converge in 2-3 rounds). ``localCheckpoint`` cuts lineage each round
-    so the plan stays constant-size; the loop stops at the first round
-    with zero label changes."""
+    Scale shape: each round is a neighbor-min join plus a POINTER-JUMP
+    (label := label-of-label) — the classic shortcutting that makes
+    min-label propagation converge in O(log diameter) rounds instead of
+    O(diameter), which matters precisely because the chain-capped
+    hot-bucket pairing emits PATHS (a 10k-member degenerate bucket is a
+    diameter-9999 chain; plain propagation would need 9999 rounds,
+    pointer jumping ~14). ``localCheckpoint`` cuts lineage each round so
+    the plan stays constant-size; the loop stops at the first round with
+    zero changes and RAISES if max_iter is hit still unconverged — never
+    silently wrong labels."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -195,14 +199,27 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nl"))
         )
+        stepped = labels.join(prop, labels["vid"] == prop["dst"], "left").select(
+            "vid",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jump: follow one indirection (labels are ids of other
+        # vertices, whose labels are at least as small) — halves the
+        # remaining path length every round
+        lut = stepped.select(
+            F.col("vid").alias("l_vid"), F.col("label").alias("l_label")
+        )
         nxt = (
-            labels.join(prop, labels["vid"] == prop["dst"], "left")
+            stepped.join(lut, stepped["label"] == lut["l_vid"], "left")
             .select(
                 "vid",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+                ).alias("new_label"),
+                "old_label",
             )
             .localCheckpoint()
         )
@@ -210,6 +227,11 @@ def connected_components(
         labels = nxt.select("vid", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter too large) — raise max_iter"
+        )
     return labels.select(
         F.col("vid").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

@@ -42,14 +42,25 @@ BASE_SCHEMA = (
     "n_blocks int, profile string"
 )
 
+# the doc_meta field spec — single source of truth for the fused-kernel
+# DDL, the kernel's dict extraction, and renditions.META_SCHEMA
+META_FIELDS: tuple[tuple[str, str, object], ...] = (
+    ("total_sections", "int", 0),
+    ("max_heading_level", "int", 0),
+    ("has_tables", "boolean", False),
+    ("has_code_blocks", "boolean", False),
+    ("has_lists", "boolean", False),
+    ("has_images", "boolean", False),
+)
+
 RENDITION_COLS = {
     "json": " json string",
     "html": " html string",
     "csv": " csv string",
     "meta": (
-        " doc_meta struct<total_sections:int,max_heading_level:int,"
-        "has_tables:boolean,has_code_blocks:boolean,has_lists:boolean,"
-        "has_images:boolean>"
+        " doc_meta struct<"
+        + ",".join(f"{n}:{t}" for n, t, _ in META_FIELDS)
+        + ">"
     ),
 }
 
@@ -86,13 +97,15 @@ def _slice_by_span_budget(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
 # (the DOM walk needs the whole tag tree).
 
 
-def _can_cut(prev: dict, cur: dict) -> bool:
+def _can_cut(prev: dict, cur: dict, layoutish: bool) -> bool:
     pk, ck = prev.get("kind"), cur.get("kind")
     if pk != ck:
         return True
     if ck in ("heading", "image", "link", "page_break"):
         return True  # singleton kinds never merge into runs
     if ck == "text":
+        if not layoutish:
+            return True  # direct/markup text spans never merge into runs
         return (cur.get("offset") or 0) != (prev.get("offset") or 0) + 1
     if ck == "table_cell":
         # cut only between tables: compare the :t{id} component
@@ -104,13 +117,13 @@ def _can_cut(prev: dict, cur: dict) -> bool:
     return False  # list_item / blockquote runs and singleton kinds
 
 
-def _segment_spans(spans: list, budget: int) -> Iterator[list]:
+def _segment_spans(spans: list, budget: int, layoutish: bool) -> Iterator[list]:
     ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
     start = 0
     i = 1
     n = len(ordered)
     while i < n:
-        if i - start >= budget and _can_cut(ordered[i - 1], ordered[i]):
+        if i - start >= budget and _can_cut(ordered[i - 1], ordered[i], layoutish):
             yield ordered[start:i]
             start = i
         i += 1
@@ -120,11 +133,14 @@ def _segment_spans(spans: list, budget: int) -> Iterator[list]:
 def _assemble_megadoc(
     doc_id: str, spans: list, build_spans: bool, budget: int
 ) -> pd.DataFrame:
+    from docstrange_spark.kernels.assembly import profile_of
+
     md_parts: list[str] = []
     spans_out: list[dict] = []
     n_blocks = 0
     profile = None
-    for seg in _segment_spans(spans, budget):
+    layoutish = profile_of(doc_id) in ("layout", "ocr")
+    for seg in _segment_spans(spans, budget, layoutish):
         part = assemble_batch(
             pd.Series([doc_id]), pd.Series([seg]), build_spans=build_spans
         )
@@ -167,14 +183,7 @@ def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
                     out["doc_meta"] = parsed.map(
                         lambda d: {
                             k: d["document"]["metadata"].get(k, dflt)
-                            for k, dflt in (
-                                ("total_sections", 0),
-                                ("max_heading_level", 0),
-                                ("has_tables", False),
-                                ("has_code_blocks", False),
-                                ("has_lists", False),
-                                ("has_images", False),
-                            )
+                            for k, _, dflt in META_FIELDS
                         }
                     )
             if "html" in formats:

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from docstrange_spark.kernels.sections import (
     build_tree,
     chunk_sections,
+    set_token_counter,
     split_sections,
 )
 
@@ -236,11 +237,12 @@ def section_summary_col(content_col: str = "content", max_length: int = 200):
 # kernel path
 
 
-def _sections_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _sections_kernel(batches: Iterator[pd.DataFrame], token_mode: str = "approx") -> Iterator[pd.DataFrame]:
     cols = [
         "doc_id", "section_idx", "level", "title", "content",
         "start_line", "end_line", "token_count",
     ]
+    set_token_counter(token_mode)  # executes ON the worker
     for pdf in batches:
         rows = []
         for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
@@ -252,10 +254,12 @@ def _sections_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=cols)
 
 
-def sections_kernel(df: DataFrame) -> DataFrame:
-    """Section table via the N1 kernel (exact MCP walker)."""
+def sections_kernel(df: DataFrame, token_mode: str = "approx") -> DataFrame:
+    """Section table via the N1 kernel (exact MCP walker). ``token_mode``
+    selects the token counter INSIDE the Python workers ('approx' golden
+    default, 'tiktoken' when importable on executors)."""
     return df.select("doc_id", "markdown").mapInPandas(
-        _sections_kernel, schema=SECTION_SCHEMA
+        lambda b: _sections_kernel(b, token_mode), schema=SECTION_SCHEMA
     )
 
 
@@ -265,8 +269,9 @@ CHUNK_SCHEMA = (
 )
 
 
-def _chunks_kernel(max_tokens: int):
+def _chunks_kernel(max_tokens: int, token_mode: str = "approx"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        set_token_counter(token_mode)  # executes ON the worker
         for pdf in batches:
             rows = []
             for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
@@ -285,15 +290,18 @@ def _chunks_kernel(max_tokens: int):
     return run
 
 
-def chunks_kernel(df: DataFrame, max_tokens: int = 4000) -> DataFrame:
+def chunks_kernel(
+    df: DataFrame, max_tokens: int = 4000, token_mode: str = "approx"
+) -> DataFrame:
     """N4: greedy token-bounded chunk packing (not expressible as a
     window — the accumulator resets on overflow)."""
     return df.select("doc_id", "markdown").mapInPandas(
-        _chunks_kernel(max_tokens), schema=CHUNK_SCHEMA
+        _chunks_kernel(max_tokens, token_mode), schema=CHUNK_SCHEMA
     )
 
 
-def _hierarchy_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _hierarchy_kernel(batches: Iterator[pd.DataFrame], token_mode: str = "approx") -> Iterator[pd.DataFrame]:
+    set_token_counter(token_mode)  # executes ON the worker
     for pdf in batches:
         out = []
         for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
@@ -302,8 +310,9 @@ def _hierarchy_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(out, columns=["doc_id", "hierarchy"])
 
 
-def hierarchy_kernel(df: DataFrame) -> DataFrame:
+def hierarchy_kernel(df: DataFrame, token_mode: str = "approx") -> DataFrame:
     """N3: recursive hierarchy tree as a JSON column."""
     return df.select("doc_id", "markdown").mapInPandas(
-        _hierarchy_kernel, schema="doc_id string, hierarchy string"
+        lambda b: _hierarchy_kernel(b, token_mode),
+        schema="doc_id string, hierarchy string",
     )

@@ -50,16 +50,14 @@ def md_to_csv(md: pd.Series) -> pd.Series:
     return md.fillna("").map(mdcsv.markdown_to_csv)
 
 
-# structured (typed) metadata — lets downstream queries stay relational
+# structured (typed) metadata — lets downstream queries stay relational.
+# Field spec shared with the fused extraction kernel (extract.META_FIELDS)
+# so the three shapes (DDL, UDF schema, extraction defaults) cannot drift.
+from docstrange_spark.operators.extract import META_FIELDS  # noqa: E402
+
+_META_TYPES = {"int": IntegerType(), "boolean": BooleanType()}
 META_SCHEMA = StructType(
-    [
-        StructField("total_sections", IntegerType()),
-        StructField("max_heading_level", IntegerType()),
-        StructField("has_tables", BooleanType()),
-        StructField("has_code_blocks", BooleanType()),
-        StructField("has_lists", BooleanType()),
-        StructField("has_images", BooleanType()),
-    ]
+    [StructField(n, _META_TYPES[t]) for n, t, _ in META_FIELDS]
 )
 
 
@@ -68,20 +66,8 @@ def md_doc_metadata(md: pd.Series) -> pd.DataFrame:
     rows = []
     for m in md.fillna(""):
         meta = mdjson.parse_markdown(m)["document"]["metadata"]
-        rows.append(
-            {
-                "total_sections": meta["total_sections"],
-                "max_heading_level": meta.get("max_heading_level", 0),
-                "has_tables": meta.get("has_tables", False),
-                "has_code_blocks": meta.get("has_code_blocks", False),
-                "has_lists": meta.get("has_lists", False),
-                "has_images": meta.get("has_images", False),
-            }
-        )
-    return pd.DataFrame(rows, columns=[
-        "total_sections", "max_heading_level", "has_tables",
-        "has_code_blocks", "has_lists", "has_images",
-    ])
+        rows.append({k: meta.get(k, dflt) for k, _, dflt in META_FIELDS})
+    return pd.DataFrame(rows, columns=[n for n, _, _ in META_FIELDS])
 
 
 def with_renditions(extracted: DataFrame, formats: tuple[str, ...] = ("html", "json", "csv")) -> DataFrame:

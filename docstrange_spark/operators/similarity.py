@@ -117,7 +117,9 @@ def _bucket_udf(n_planes: int, n_tables: int):
             return pd.Series([], dtype=object)
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         P = hyperplanes(X.shape[1], n_planes, n_tables)
-        bits = (X @ P.T >= 0).astype("<U1")  # '0'/'1' chars, (n, L*b)
+        # '0'/'1' chars (NOT bool.astype(U1), which yields 'T'/'F') so
+        # bucket ids literally match the DuckDB oracle's bitstrings
+        bits = np.where(X @ P.T >= 0, "1", "0")  # (n, L*b)
         out = []
         for row in bits:
             s = "".join(row)

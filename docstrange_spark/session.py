@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pin event-time semantics: naive parquet timestamps mean the
+        # same instant on every driver/executor regardless of host zone
+        # (and match DuckDB's epoch_us in the cross-engine oracles)
+        .config("spark.sql.session.timeZone", "UTC")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS),

@@ -245,3 +245,18 @@ def test_connected_components_transitivity(spark):
         for r in dedup.connected_components(verts, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """The chain-capped hot-bucket pairing emits PATHS; pointer jumping
+    must converge a diameter-1999 chain well inside max_iter (plain
+    propagation would need 1999 rounds and previously returned silently
+    wrong labels)."""
+    n = 2000
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = dedup.connected_components(verts, pairs, max_iter=25).collect()
+    assert all(r["cluster_rep"] == 0 for r in got)
+    assert len(got) == n

@@ -70,9 +70,9 @@ def test_segmented_equals_unsegmented(budget):
 def test_cut_never_splits_runs():
     spans = _mixed_layout_doc(4)
     # with budget 1, every slice boundary must still fall on a run edge
-    segs = list(extract._segment_spans(spans, budget=1))
+    segs = list(extract._segment_spans(spans, budget=1, layoutish=True))
     for a, b in zip(segs, segs[1:]):
-        assert extract._can_cut(a[-1], b[0])
+        assert extract._can_cut(a[-1], b[0], layoutish=True)
 
 
 def test_single_oversized_run_stays_whole():
@@ -81,7 +81,7 @@ def test_single_oversized_run_stays_whole():
         {"kind": "text", "text": f"t{i}", "media_ref": "", "offset": i}
         for i in range(50)
     ]
-    segs = list(extract._segment_spans(spans, budget=10))
+    segs = list(extract._segment_spans(spans, budget=10, layoutish=True))
     assert len(segs) == 1  # uncuttable run forms one oversized slice
     seg = extract._assemble_megadoc("pdf_pages-run", spans, True, budget=10)
     whole = assemble_batch(pd.Series(["pdf_pages-run"]), pd.Series([spans]))
@@ -110,3 +110,19 @@ def test_million_span_doc_through_spark(spark):
     assert row["n_blocks"] == n // 4  # one paragraph per 4-span run
     assert row["markdown"].startswith("tok0 tok1 tok2 tok3\n\n")
     assert row["markdown"].endswith("tok999996 tok999997 tok999998 tok999999")
+
+
+def test_direct_profile_mega_doc_segments_freely():
+    """Direct-profile text spans never merge into runs, so consecutive
+    offsets must NOT block segmentation (a 10^6-span direct doc would
+    otherwise become one oversized slice)."""
+    spans = [
+        {"kind": "text", "text": f"p{i}", "media_ref": "", "offset": i}
+        for i in range(100)
+    ]
+    segs = list(extract._segment_spans(spans, budget=10, layoutish=False))
+    assert len(segs) == 10
+    seg = extract._assemble_megadoc("txt_plain-big", spans, True, budget=10)
+    whole = assemble_batch(pd.Series(["txt_plain-big"]), pd.Series([spans]))
+    assert seg["markdown"].iat[0] == whole["markdown"].iat[0]
+    assert seg["out_spans"].iat[0] == whole["out_spans"].iat[0]
