@@ -118,15 +118,47 @@ def _can_cut(prev: dict, cur: dict, layoutish: bool) -> bool:
 
 
 def _segment_spans(spans: list, budget: int, layoutish: bool) -> Iterator[list]:
+    """Slice a sorted span stream at positions where the assembly's
+    run-merge predicate is False — evaluated on the EFFECTIVE stream the
+    kernel sees: dropped kinds (script/style/tag_*) vanish before run
+    grouping, so two run members separated only by dropped spans still
+    merge (fuzz-found), and unknown kinds degrade to text."""
+    from docstrange_spark.kernels.assembly import DROP_KINDS, KNOWN_KINDS
+
     ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
-    start = 0
-    i = 1
     n = len(ordered)
-    while i < n:
-        if i - start >= budget and _can_cut(ordered[i - 1], ordered[i], layoutish):
+
+    def _effective(s: dict) -> dict | None:
+        k = s.get("kind")
+        if k in DROP_KINDS:
+            return None
+        if k not in KNOWN_KINDS:
+            return {**s, "kind": "text"}
+        return s
+
+    eff = [_effective(s) for s in ordered]
+    # nearest effective span strictly before / at-or-after each position
+    prev_eff: list[dict | None] = [None] * n
+    last = None
+    for i in range(n):
+        prev_eff[i] = last
+        if eff[i] is not None:
+            last = eff[i]
+    next_eff: list[dict | None] = [None] * n
+    nxt = None
+    for i in range(n - 1, -1, -1):
+        if eff[i] is not None:
+            nxt = eff[i]
+        next_eff[i] = nxt
+
+    start = 0
+    for i in range(1, n):
+        if i - start < budget:
+            continue
+        p, c = prev_eff[i], next_eff[i]
+        if p is None or c is None or _can_cut(p, c, layoutish):
             yield ordered[start:i]
             start = i
-        i += 1
     yield ordered[start:]
 
 
@@ -145,7 +177,9 @@ def _assemble_megadoc(
             pd.Series([doc_id]), pd.Series([seg]), build_spans=build_spans
         )
         profile = part["profile"].iat[0]
-        if part["markdown"].iat[0]:
+        # gate on block count, NOT markdown truthiness: blocks with empty
+        # text still occupy join positions (fuzz-found edge)
+        if int(part["n_blocks"].iat[0]):
             md_parts.append(part["markdown"].iat[0])
         if build_spans:
             for sp in part["out_spans"].iat[0]:

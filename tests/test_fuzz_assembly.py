@@ -77,3 +77,24 @@ def test_unknown_kind_becomes_paragraph():
     out = assembly.assemble_batch(pdf["doc_id"], pdf["spans"])
     assert out.iloc[0]["markdown"] == "future content"
     assert out.iloc[0]["out_spans"][0]["kind"] == "paragraph"
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.sampled_from(["md_structure", "pdf_pages", "ocr_noisy", "docx_like", "weird"]),
+    st.lists(SPAN, min_size=1, max_size=40),
+    st.integers(2, 9),
+)
+def test_segmented_assembly_equals_whole(doc_class, spans, budget):
+    """Within-row segmentation invariance on ARBITRARY span streams:
+    assembling in run-boundary slices of any budget must be
+    byte-identical to assembling the whole document (markup is excluded
+    here because the kernel never segments DOM docs)."""
+    from docstrange_spark.operators import extract
+
+    doc_id = f"{doc_class}-fuzz"
+    whole = assembly.assemble_batch(pd.Series([doc_id]), pd.Series([spans]))
+    seg = extract._assemble_megadoc(doc_id, spans, build_spans=True, budget=budget)
+    assert seg["markdown"].iat[0] == whole["markdown"].iat[0]
+    assert int(seg["n_blocks"].iat[0]) == int(whole["n_blocks"].iat[0])
+    assert seg["out_spans"].iat[0] == whole["out_spans"].iat[0]
