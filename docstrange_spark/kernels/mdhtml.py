@@ -199,6 +199,30 @@ def markdown_to_html_body(markdown_text: str) -> str:
     return _paragraphs(html)
 
 
+# R6: the GPU-variant page badge — byte-for-byte the reference's
+# indicator block (processors/gpu_processor.py:60-78), inserted right
+# after the opening <body> tag
+GPU_BADGE = (
+    "\n        <div style=\"background: linear-gradient(135deg, #667eea 0%,"
+    " #764ba2 100%); color: white; padding: 1rem; border-radius: 8px;"
+    " margin-bottom: 2rem; text-align: center;\">\n"
+    "            <strong>\U0001f680 GPU Processed</strong> - Enhanced with"
+    " {provider} OCR\n        </div>\n        "
+)
+
+
+def add_gpu_badge(html: str, provider: str = "nanonets") -> str:
+    """Inject the reference's 'GPU Processed' banner after the opening
+    body tag (``gpu_processor.py:60-78``); pages without a body tag pass
+    through unchanged, like the reference."""
+    badge = GPU_BADGE.format(provider=provider)
+    body_start = html.find("<body")
+    if body_start == -1:
+        return html
+    body_end = html.find(">", body_start) + 1
+    return html[:body_end] + badge + html[body_end:]
+
+
 def markdown_to_html_page(
     markdown_text: str,
     title: str = "Converted Document",

@@ -91,3 +91,25 @@ def test_page_shell():
     page = mdhtml.markdown_to_html_page("# T\n\nbody")
     assert page.startswith("<!DOCTYPE html>")
     assert '<div class="content">' in page and "</html>" in page
+
+
+def test_gpu_badge_matches_reference_format():
+    """R6: the GPU banner must be byte-equal to the reference's
+    gpu_indicator f-string and land right after the opening <body> tag
+    (gpu_processor.py:60-78)."""
+    from docstrange_spark.kernels import mdhtml
+
+    # the reference's literal f-string (its observable output format)
+    expected_indicator = f"""
+        <div style="background: linear-gradient(135deg, #667eea 0%, #764ba2 100%); color: white; padding: 1rem; border-radius: 8px; margin-bottom: 2rem; text-align: center;">
+            <strong>🚀 GPU Processed</strong> - Enhanced with {"nanonets"} OCR
+        </div>
+        """
+    assert mdhtml.GPU_BADGE.format(provider="nanonets") == expected_indicator
+
+    page = mdhtml.markdown_to_html_page("# hi")
+    badged = mdhtml.add_gpu_badge(page)
+    body_end = page.find(">", page.find("<body")) + 1
+    assert badged == page[:body_end] + expected_indicator + page[body_end:]
+    # no body tag -> unchanged (reference fallback)
+    assert mdhtml.add_gpu_badge("<p>x</p>") == "<p>x</p>"
