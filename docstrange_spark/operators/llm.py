@@ -308,3 +308,55 @@ def extract_document_json(
     return df.select("doc_id", "markdown").mapInPandas(
         kernel, schema="doc_id string, document_json string, extractor string"
     )
+
+
+# ---------------------------------------------------------------------------
+# R7 (deterministic part): the cloud result envelope shapes
+# (``cloud_processor.py:140-184``). The external API itself is out of
+# scope; these wrap OUR extraction outputs in the exact dict shapes the
+# reference's CloudConversionResult.extract_data returns, so downstream
+# consumers of either engine see identical structures.
+
+
+def cloud_envelope_fields(extracted: dict) -> dict:
+    """specified-fields shape (cloud_processor.py:152-157)."""
+    return {"extracted_fields": extracted, "format": "specified_fields"}
+
+
+def cloud_envelope_schema(structured: dict) -> dict:
+    """specified-json shape (cloud_processor.py:159-166)."""
+    return {"structured_data": structured, "format": "structured_json"}
+
+
+def cloud_envelope_document(document: dict) -> dict:
+    """flat-json shape (cloud_processor.py:168-175)."""
+    return {"document": document, "format": "cloud_flat_json"}
+
+
+def cloud_envelope_error(raw_content: str, error: str) -> dict:
+    """parse-failure shape (cloud_processor.py:177-183)."""
+    return {
+        "document": {"raw_content": raw_content},
+        "format": "json_parse_error",
+        "error": error,
+    }
+
+
+def with_cloud_envelope(df: DataFrame, json_col: str, mode: str) -> DataFrame:
+    """Wrap a JSON-string column in a cloud envelope, JVM-side: the
+    envelope is a fixed frame around an already-serialized payload, so
+    plain concat reproduces json.dumps byte-for-byte (insertion-order
+    keys, ', ' separators)."""
+    key = {
+        "fields": ("extracted_fields", "specified_fields"),
+        "schema": ("structured_data", "structured_json"),
+        "document": ("document", "cloud_flat_json"),
+    }[mode]
+    return df.withColumn(
+        f"{json_col}_enveloped",
+        F.concat(
+            F.lit('{"' + key[0] + '": '),
+            F.col(json_col),
+            F.lit(', "format": "' + key[1] + '"}'),
+        ),
+    )

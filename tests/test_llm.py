@@ -103,3 +103,34 @@ def test_u3_fallback_is_deterministic_parser(mddf):
     assert json.loads(out[0]["document_json"]) == mdjson.parse_markdown(
         "alpha beta gamma"
     )
+
+
+def test_cloud_envelope_shapes(mddf):
+    """R7 deterministic envelopes match the reference's dict shapes
+    (cloud_processor.py:140-184) and the JVM-side wrapper serializes
+    them byte-for-byte."""
+    assert llm.cloud_envelope_fields({"a": 1}) == {
+        "extracted_fields": {"a": 1},
+        "format": "specified_fields",
+    }
+    assert llm.cloud_envelope_schema({"b": 2}) == {
+        "structured_data": {"b": 2},
+        "format": "structured_json",
+    }
+    assert llm.cloud_envelope_document({"c": 3}) == {
+        "document": {"c": 3},
+        "format": "cloud_flat_json",
+    }
+    err = llm.cloud_envelope_error("raw", "boom")
+    assert err["format"] == "json_parse_error" and err["error"] == "boom"
+
+    out = llm.extract_fields(mddf, ["title"], endpoint="fake://llm")
+    env = llm.with_cloud_envelope(out, "extracted_fields", "fields").first()
+    parsed = json.loads(env["extracted_fields_enveloped"])
+    assert parsed == llm.cloud_envelope_fields(
+        json.loads(env["extracted_fields"])
+    )
+    # concat-built envelope is byte-equal to a real json.dumps of it
+    assert env["extracted_fields_enveloped"] == json.dumps(
+        parsed, ensure_ascii=False
+    )
