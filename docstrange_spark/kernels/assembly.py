@@ -31,6 +31,7 @@ per-group Python survives only where semantics are inherently per-group
 from __future__ import annotations
 
 import itertools
+import re
 from typing import Any
 
 import numpy as np
@@ -51,6 +52,10 @@ KNOWN_KINDS = {
     "text", "heading", "list_item", "table_cell", "code", "blockquote",
     "image", "link", "page_break",
 } | DROP_KINDS
+
+# table-cell coordinate encoding — the single source for both the
+# kernel's vectorized parse and the megadoc segmentation's cut predicate
+TABLE_REF_RE = re.compile(r"^r(\d+):c(\d+):t(\d+)(:m)?$")
 
 DOCX_ROW_LIMIT = 20
 MERGED_CELL_WARNING = (
@@ -283,7 +288,7 @@ def assemble_batch(
 
     if len(flat):
         # -- table-cell coordinates (vectorized parse) ---------------------
-        tparsed = flat["media_ref"].str.extract(r"^r(\d+):c(\d+):t(\d+)(:m)?$")
+        tparsed = flat["media_ref"].str.extract(TABLE_REF_RE)
         flat["_trow"] = pd.to_numeric(tparsed[0], errors="coerce").fillna(0).astype(int)
         flat["_tcol"] = pd.to_numeric(tparsed[1], errors="coerce").fillna(0).astype(int)
         flat["_tid"] = pd.to_numeric(tparsed[2], errors="coerce").fillna(-1).astype(int)

@@ -199,12 +199,19 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nl"))
         )
-        stepped = labels.join(prop, labels["vid"] == prop["dst"], "left").select(
-            "vid",
-            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                "label"
-            ),
-            F.col("label").alias("old_label"),
+        stepped = (
+            labels.join(prop, labels["vid"] == prop["dst"], "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+            # materialize before the pointer-jump self-join: both sides
+            # of that join reference this frame, and uncheckpointed
+            # lineage would re-execute the neighbor-min join twice
+            .localCheckpoint()
         )
         # pointer jump: follow one indirection (labels are ids of other
         # vertices, whose labels are at least as small) — halves the

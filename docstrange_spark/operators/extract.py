@@ -34,7 +34,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from docstrange_spark.kernels.assembly import assemble_batch
+from docstrange_spark.kernels.assembly import (
+    DROP_KINDS,
+    KNOWN_KINDS,
+    TABLE_REF_RE,
+    assemble_batch,
+    profile_of,
+)
+
+
+def _tid_of(media_ref: str | None) -> int:
+    """Table id exactly as the assembly kernel derives it (regex match,
+    -1 on no-match — mirrors to_numeric(...).fillna(-1))."""
+    m = TABLE_REF_RE.match(media_ref or "")
+    return int(m.group(3)) if m else -1
 
 BASE_SCHEMA = (
     "doc_id string, markdown string, "
@@ -108,10 +121,11 @@ def _can_cut(prev: dict, cur: dict, layoutish: bool) -> bool:
             return True  # direct/markup text spans never merge into runs
         return (cur.get("offset") or 0) != (prev.get("offset") or 0) + 1
     if ck == "table_cell":
-        # cut only between tables: compare the :t{id} component
-        pt = (prev.get("media_ref") or "").split(":")
-        ct = (cur.get("media_ref") or "").split(":")
-        return (pt[2:3] or [""])[0] != (ct[2:3] or [""])[0]
+        # cut only between tables — parsed with the SAME regex + -1
+        # fallback as assembly's _tid column, else the predicates drift
+        # (fuzz-found: an unparseable ref must compare equal to another
+        # unparseable ref, exactly like to_numeric().fillna(-1))
+        return _tid_of(prev.get("media_ref")) != _tid_of(cur.get("media_ref"))
     if ck == "code":
         return (prev.get("media_ref") or "") != (cur.get("media_ref") or "")
     return False  # list_item / blockquote runs and singleton kinds
@@ -123,8 +137,6 @@ def _segment_spans(spans: list, budget: int, layoutish: bool) -> Iterator[list]:
     kernel sees: dropped kinds (script/style/tag_*) vanish before run
     grouping, so two run members separated only by dropped spans still
     merge (fuzz-found), and unknown kinds degrade to text."""
-    from docstrange_spark.kernels.assembly import DROP_KINDS, KNOWN_KINDS
-
     ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
     n = len(ordered)
 
@@ -165,8 +177,6 @@ def _segment_spans(spans: list, budget: int, layoutish: bool) -> Iterator[list]:
 def _assemble_megadoc(
     doc_id: str, spans: list, build_spans: bool, budget: int
 ) -> pd.DataFrame:
-    from docstrange_spark.kernels.assembly import profile_of
-
     md_parts: list[str] = []
     spans_out: list[dict] = []
     n_blocks = 0
@@ -198,7 +208,6 @@ def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
         # renditions imported lazily so the worker pays only for what it uses
         if formats:
             from docstrange_spark.kernels import mdcsv, mdhtml, mdjson
-        from docstrange_spark.kernels.assembly import profile_of
 
         def _finish(out: pd.DataFrame) -> pd.DataFrame:
             if "json" in formats or "meta" in formats:
