@@ -72,9 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.output_format == "all":
             print("--combine needs a single output format", file=sys.stderr)
             return 2
-        renditions.combine_documents(out, args.output_format).write.mode(
-            "overwrite"
-        ).parquet(args.out)
+        combined = renditions.combine_documents(out, args.output_format)
+        if args.output_format == "csv" and combined.first()["count"] == 0:
+            # reference parity: csv combine with no tables anywhere is an
+            # error (cli.py:533-535)
+            print("Error: No tables found in any of the input files",
+                  file=sys.stderr)
+            return 1
+        combined.write.mode("overwrite").parquet(args.out)
     else:
         out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")

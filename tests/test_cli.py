@@ -56,3 +56,27 @@ def test_span_table_helpers(spark, tmp_path):
     assert not span_table.is_iceberg_table(p)
     assert span_table.is_iceberg_table("db.tbl")
     assert len(span_table.snapshot_id(spark, p)) == 32
+
+
+def test_cli_csv_combine_errors_without_tables(spark, tmp_path):
+    """Reference parity (cli.py:533-535): csv combine over a corpus with
+    zero tables exits 1 with the reference's error message; a corpus
+    WITH tables combines fine."""
+    from docstrange_spark import cli
+
+    rc = cli.main([
+        "/root/testdata/sf0.001/documents.parquet", "--spanize",
+        "--out", str(tmp_path / "none"), "--combine",
+        "--output-format", "csv", "--cpus", "4",
+    ])
+    assert rc == 1
+
+    src = str(tmp_path / "spans")
+    datagen.fixture_spans(spark).write.parquet(src)
+    rc = cli.main([
+        src, "--out", str(tmp_path / "some"), "--combine",
+        "--output-format", "csv", "--cpus", "4",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "some")).first()
+    assert got["count"] > 0 and "=== File " in got["combined"]
