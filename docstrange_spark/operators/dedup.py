@@ -168,6 +168,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph by iterative
     min-label propagation: every vertex converges to the smallest id
@@ -180,19 +181,40 @@ def connected_components(
     O(diameter), which matters precisely because the chain-capped
     hot-bucket pairing emits PATHS (a 10k-member degenerate bucket is a
     diameter-9999 chain; plain propagation would need 9999 rounds,
-    pointer jumping ~14). ``localCheckpoint`` cuts lineage each round so
-    the plan stays constant-size; the loop stops at the first round with
+    pointer jumping ~14). Per-round checkpointing cuts lineage so the
+    plan stays constant-size; the loop stops at the first round with
     zero changes and RAISES if max_iter is hit still unconverged — never
-    silently wrong labels."""
+    silently wrong labels.
+
+    **Executor-loss contract** (``checkpoint_dir``): the default
+    ``localCheckpoint`` stores the per-round blocks on executors only —
+    fast, but on a real cluster an executor loss mid-loop kills the job
+    (the blocks are gone and the lineage was already truncated) and the
+    blocks pin executor memory for the loop's lifetime. Pass
+    ``checkpoint_dir`` (an HDFS/S3 path at scale) to switch every round
+    to *reliable* ``checkpoint()``: blocks land on fault-tolerant
+    storage, executor loss is recoverable, memory is released. Local
+    mode and the oracles keep the default."""
+    if checkpoint_dir is not None:
+        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cp(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _cp(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = edges.localCheckpoint()
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    edges = _cp(edges)
+    labels = _cp(
+        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
+    )
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["src"] == labels["vid"])
@@ -208,11 +230,11 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("old_label"),
             )
-            # materialize before the pointer-jump self-join: both sides
-            # of that join reference this frame, and uncheckpointed
-            # lineage would re-execute the neighbor-min join twice
-            .localCheckpoint()
         )
+        # materialize before the pointer-jump self-join: both sides of
+        # that join reference this frame, and uncheckpointed lineage
+        # would re-execute the neighbor-min join twice
+        stepped = _cp(stepped)
         # pointer jump: follow one indirection (labels are ids of other
         # vertices, whose labels are at least as small) — halves the
         # remaining path length every round
@@ -228,8 +250,8 @@ def connected_components(
                 ).alias("new_label"),
                 "old_label",
             )
-            .localCheckpoint()
         )
+        nxt = _cp(nxt)
         changed = nxt.where(F.col("new_label") != F.col("old_label")).count()
         labels = nxt.select("vid", F.col("new_label").alias("label"))
         if changed == 0:
@@ -244,15 +266,39 @@ def connected_components(
     )
 
 
+DEFAULT_MAX_BUCKET = 1024
+
+
 def dedup_clusters(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
     connected components → (doc_id, cluster_rep) for EVERY document
     (singletons are their own rep). The keeper-per-cluster output a
-    dedup pipeline actually materializes."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col)
-    return connected_components(df.select(id_col), pairs, id_col)
+    dedup pipeline actually materializes.
+
+    The hot-bucket cap defaults ON (``max_bucket_size=1024``): one
+    degenerate band bucket (boilerplate-identical pages, empty docs)
+    would otherwise emit a quadratic pair blowout on a single task at
+    web scale. Chain pairing inside oversized buckets preserves each
+    bucket's connected component exactly, so the CLUSTER OUTPUT IS
+    IDENTICAL to the uncapped all-pairs configuration — which is why the
+    recursive-closure oracle stays bit-green with the cap on. Pass
+    ``max_bucket_size=None`` to force exact all-pairs candidate
+    generation (useful when the pair list itself is the product), and
+    ``checkpoint_dir`` for reliable checkpointing on real clusters (see
+    ``connected_components``)."""
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, max_bucket_size=max_bucket_size, observation=observation
+    )
+    return connected_components(
+        df.select(id_col), pairs, id_col, checkpoint_dir=checkpoint_dir
+    )
 
 
 def jaccard_pairs(
