@@ -202,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spans = spanize.spanize_docx(_docs(spark, sf_dir))
         return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
 
+    def q_extract_pptx_md(spark, sf_dir):
+        # PPTX slide sectioning (S11/O18): '## Slide {n}' page breaks,
+        # shape text blocks, bullet list (pptx_processor.py:107-119)
+        spans = spanize.spanize_pptx(_docs(spark, sf_dir))
+        return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
+
     # -- dedup ------------------------------------------------------------
     def q_dedup_exact(spark, sf_dir):
         return dedup.exact_groups(_docs(spark, sf_dir))
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_layout_md": q_extract_layout_md,
         "extract_ocr_md": q_extract_ocr_md,
         "extract_docx_md": q_extract_docx_md,
+        "extract_pptx_md": q_extract_pptx_md,
         "doc_info": q_doc_info,
         "section_summaries": q_section_summaries,
         "section_by_title": q_section_by_title,
@@ -758,6 +765,23 @@ SELECT doc_id,
 FROM tbl"""
 
 
+_PPTX_ORACLE = rf"""
+WITH t AS (
+  SELECT 'pptx_like-' || doc_id AS doc_id,
+         string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+),{_TOK9_CTE}
+SELECT doc_id,
+       '## Slide 1' || chr(10) || chr(10) ||
+       '# Deck ' || doc_id || chr(10) || chr(10) ||
+       w[1] || ' ' || w[2] || ' ' || w[3] || chr(10) || chr(10) ||
+       w[4] || ' ' || w[5] || chr(10) || chr(10) ||
+       '## Slide 2' || chr(10) || chr(10) ||
+       w[6] || ' ' || w[7] || chr(10) || chr(10) ||
+       '- ' || w[8] || chr(10) || '- ' || w[9] AS markdown
+FROM tk"""
+
+
 # shared shingle CTE over documents
 SHINGLE_CTE = r"""
 WITH t AS (
@@ -862,6 +886,7 @@ FROM tk""",
         "extract_layout_md": _layout_oracle("pdf_pages", noisy=False),
         "extract_ocr_md": _layout_oracle("ocr_noisy", noisy=True),
         "extract_docx_md": _DOCX_ORACLE,
+        "extract_pptx_md": _PPTX_ORACLE,
         "extract_sections": (
             MD_CTE
             + SECTIONS_CTE

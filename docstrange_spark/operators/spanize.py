@@ -327,6 +327,47 @@ def spanize_docx(documents: DataFrame) -> DataFrame:
     )
 
 
+def spanize_pptx_deck(doc_id: str, text: str) -> list[dict]:
+    """PPTX bridge (S11): a two-slide deck mirroring the reference's
+    slide sectioning (pptx_processor.py:107-119 — ``## Slide {n}``
+    headers with each shape's text as its own block). Slide 1 carries a
+    title shape (h1 heading) and two body shapes; slide 2 carries one
+    body shape and a two-item bullet list. Token layout is the padded
+    9-token scheme shared with the layout/docx bridges, so a DuckDB
+    oracle reconstructs the markdown exactly."""
+    w = _nine_tokens(text)
+
+    def t(kind, text_, ref, off):
+        return {"kind": kind, "text": text_, "media_ref": ref, "offset": off}
+
+    return [
+        t("page_break", "1", "slide", 0),
+        t("heading", f"Deck {doc_id}", "h1", 1),
+        t("text", " ".join(w[0:3]), "", 2),
+        t("text", " ".join(w[3:5]), "", 3),
+        t("page_break", "2", "slide", 4),
+        t("text", " ".join(w[5:7]), "", 5),
+        t("list_item", w[7], "ul:0", 6),
+        t("list_item", w[8], "ul:0", 7),
+    ]
+
+
+def _pptx_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = "pptx_like-" + pdf["doc_id"].astype(str)
+        spans = [
+            spanize_pptx_deck(d, t) for d, t in zip(ids, pdf["text"].fillna(""))
+        ]
+        yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+
+def spanize_pptx(documents: DataFrame) -> DataFrame:
+    """(doc_id int64, text, ...) -> ('pptx_like-{id}', slide-deck spans)."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _pptx_kernel, schema=SPAN_SCHEMA_DDL
+    )
+
+
 def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids = "doc-" + pdf["doc_id"].astype(str)
