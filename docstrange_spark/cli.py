@@ -6,22 +6,100 @@ rendition out. Where the reference loops over files sequentially
 Usage::
 
     python -m docstrange_spark.cli INPUT --output-format markdown \
-        --out OUT_DIR [--combine] [--resume] [--cpus 32]
+        [--out OUT_DIR] [--combine] [--resume] [--cpus 32] \
+        [--extract-fields F1 F2 | --json-schema FILE] [--list-formats]
 
 INPUT: a span-table parquet dir / Iceberg identifier, or a documents-
 style parquet (doc_id, text) which is spanized first (--spanize).
+
+Without ``--out`` the rendition prints to stdout, mirroring the
+reference's default (``cli.py:541-550``): a single document prints its
+content; multiple documents print the combined form (markdown/text
+``---`` separators, html ``<hr>``, the json ``{results,count,errors}``
+envelope, csv ``=== File i ===`` sections).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
+
+# the reference's print_supported_formats grouping (cli.py:22-45) over
+# the union of its processors' extensions (extractor.py:374-408). The
+# reference iterates a set() so its own within-category order is hash-
+# randomized; we pin the canonical order of its category filter lists.
+SUPPORTED_FORMAT_CATEGORIES = [
+    ("Documents", [".pdf", ".docx", ".doc", ".txt", ".text"]),
+    ("Data Files", [".xlsx", ".xls", ".csv"]),
+    ("Presentations", [".ppt", ".pptx"]),
+    ("Web", ["URLs"]),
+    ("Images", [".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".webp", ".gif"]),
+    ("Web Files", [".html", ".htm"]),
+]
+
+
+def print_supported_formats(out=None) -> None:
+    out = out or sys.stdout
+    print("Supported input formats:", file=out)
+    print(file=out)
+    for category, fmts in SUPPORTED_FORMAT_CATEGORIES:
+        print(f"  {category}:", file=out)
+        for fmt in fmts:
+            print(f"    - {fmt}", file=out)
+        print(file=out)
+
+
+def _llm_json_payloads(out, args):
+    """Per-doc JSON payload column for --extract-fields / --json-schema,
+    mirroring result.extract_data's envelopes (result.py:955-980): the
+    llm path wraps in local_specified_fields / local_json_schema, any
+    unavailable/parse-error row degrades to the deterministic
+    structured_json parse — the reference's own fallback
+    (result.py:1001-1009). Returns (doc_id, payload) DataFrame."""
+    from pyspark.sql import functions as F
+
+    from docstrange_spark.operators import llm, renditions
+
+    fallback = renditions.md_to_json(F.col("markdown"))
+    if args.extract_fields:
+        fielded = llm.extract_fields(
+            out, args.extract_fields, endpoint=args.llm_endpoint, model=args.llm_model
+        ).withColumnRenamed("extracted_fields", "payload_inner")
+        src = out.select("doc_id", "markdown").join(fielded, "doc_id")
+        envelope = F.concat(
+            F.lit('{"extracted_fields": '),
+            F.col("payload_inner"),
+            F.lit(', "requested_fields": ' + json.dumps(args.extract_fields)),
+            F.lit(', "format": "local_specified_fields", "extractor": "ollama"}'),
+        )
+    else:
+        with open(args.json_schema) as f:
+            schema = json.load(f)
+        structured = llm.extract_with_schema(
+            out, schema, endpoint=args.llm_endpoint, model=args.llm_model
+        ).withColumnRenamed("extracted_json", "payload_inner")
+        src = out.select("doc_id", "markdown").join(structured, "doc_id")
+        envelope = F.concat(
+            F.lit('{"extracted_data": '),
+            F.col("payload_inner"),
+            F.lit(', "schema": ' + json.dumps(schema, sort_keys=True)),
+            F.lit(', "format": "local_json_schema", "extractor": "ollama"}'),
+        )
+    return src.select(
+        "doc_id",
+        F.when(F.col("extractor") == "llm", envelope).otherwise(fallback).alias(
+            "payload"
+        ),
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="docstrange_spark")
-    ap.add_argument("input", help="span table (parquet dir or iceberg id)")
-    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument("input", nargs="?", default=None,
+                    help="span table (parquet dir or iceberg id)")
+    ap.add_argument("--out", default=None,
+                    help="output parquet dir (omit to print to stdout)")
     ap.add_argument(
         "--output-format",
         default="markdown",
@@ -34,7 +112,30 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="manifest-checkpointed processing, skip committed buckets")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--extract-fields", nargs="+", default=None,
+                    help="extract named fields as JSON (reference --extract-fields)")
+    ap.add_argument("--json-schema", default=None,
+                    help="JSON schema file for structured extraction")
+    ap.add_argument("--llm-endpoint", default="http://localhost:11434",
+                    help="inference endpoint (reference --ollama-url); "
+                         "fake:// activates the offline test double")
+    ap.add_argument("--llm-model", default="llama3.2")
+    ap.add_argument("--list-formats", action="store_true",
+                    help="list supported input formats and exit")
     args = ap.parse_args(argv)
+
+    if args.list_formats:
+        print_supported_formats()
+        return 0
+    if args.input is None:
+        print("Error: no input specified", file=sys.stderr)
+        return 2
+    if (args.extract_fields or args.json_schema) and args.output_format != "json":
+        print("Error: --extract-fields/--json-schema need --output-format json",
+              file=sys.stderr)
+        return 2
+
+    from pyspark.sql import functions as F
 
     from docstrange_spark.session import get_spark
     from docstrange_spark.operators import extract as ex
@@ -57,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
         src = span_table.read_spans(spark, args.input)
 
     if args.resume:
+        if args.out is None:
+            print("Error: --resume needs --out", file=sys.stderr)
+            return 2
         snap = span_table.snapshot_id(spark, args.input)
         summary = manifest.process_resumable(
             src,
@@ -68,17 +172,80 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     out = ex.extract(src, formats=fmts)
+
+    if args.extract_fields or args.json_schema:
+        payloads = _llm_json_payloads(out, args).withColumnRenamed(
+            "payload", "json"
+        )
+        if args.out is not None and not args.combine:
+            payloads.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+            return 0
+        out = payloads
+
+    if args.out is None:
+        # stdout mode (reference cli.py:483-550): one doc prints its
+        # content, many print the combined form
+        if args.output_format == "all":
+            print("stdout mode needs a single output format", file=sys.stderr)
+            return 2
+        col = "markdown" if args.output_format in ("markdown", "text") else args.output_format
+        collected = (
+            out.select("doc_id", F.col(col).alias("payload")).orderBy("doc_id").collect()
+        )
+        if len(collected) == 1:
+            payload = collected[0]["payload"]
+            if args.output_format == "json":
+                payload = json.dumps(json.loads(payload), indent=2)
+            elif args.output_format == "csv" and not payload.strip():
+                # reference single-file parity (result.py:1064 via cli.py:480)
+                print("Error: No tables found in the document content",
+                      file=sys.stderr)
+                return 1
+            print(payload)
+        elif args.output_format == "json":
+            print(json.dumps(
+                {
+                    "results": [json.loads(r["payload"]) for r in collected],
+                    "count": len(collected),
+                    "errors": [],
+                },
+                indent=2,
+            ))
+        elif args.output_format == "csv":
+            # index i is positional among ALL documents; empty-table docs
+            # are skipped but keep their neighbors' numbers (cli.py:523-531)
+            sections = [
+                f"=== File {i + 1} ===\n{r['payload']}"
+                for i, r in enumerate(collected)
+                if r["payload"].strip()
+            ]
+            if not sections:
+                print("Error: No tables found in any of the input files",
+                      file=sys.stderr)
+                return 1
+            print("\n\n".join(sections))
+        else:
+            sep = "\n\n<hr>\n\n" if args.output_format == "html" else "\n\n---\n\n"
+            print(sep.join(r["payload"] for r in collected))
+        return 0
+
     if args.combine:
         if args.output_format == "all":
             print("--combine needs a single output format", file=sys.stderr)
             return 2
         combined = renditions.combine_documents(out, args.output_format)
-        if args.output_format == "csv" and combined.first()["count"] == 0:
-            # reference parity: csv combine with no tables anywhere is an
-            # error (cli.py:533-535)
-            print("Error: No tables found in any of the input files",
-                  file=sys.stderr)
-            return 1
+        if args.output_format == "csv":
+            # one pass: the empty check and the write share the cached
+            # 1-row result instead of executing the pipeline twice
+            combined = combined.cache()
+            if combined.first()["count"] == 0:
+                # reference parity: csv combine with no tables anywhere
+                # is an error (cli.py:533-535)
+                print("Error: No tables found in any of the input files",
+                      file=sys.stderr)
+                combined.unpersist()
+                return 1
         combined.write.mode("overwrite").parquet(args.out)
     else:
         out.write.mode("overwrite").parquet(args.out)

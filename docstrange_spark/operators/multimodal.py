@@ -181,9 +181,14 @@ def _audio_features(x: np.ndarray, rate: int) -> list[float]:
     """16 floats: n, rate, channels, rms, zcr, peak, 10-bin |FFT| energy."""
     mono = x.mean(axis=1)
     n = len(mono)
-    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    if n == 0:
+        # a valid zero-frame WAV: rfft raises and mean() emits NaN on
+        # empty input, which would fail the whole Spark stage — emit a
+        # well-defined all-zero feature row instead
+        return [0.0, float(rate), float(x.shape[1]), 0.0, 0.0, 0.0] + [0.0] * 10
+    rms = float(np.sqrt(np.mean(mono**2)))
     zcr = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if n > 1 else 0.0
-    peak = float(np.max(np.abs(mono))) if n else 0.0
+    peak = float(np.max(np.abs(mono)))
     spec = np.abs(np.fft.rfft(mono))
     bins = np.array_split(spec, 10)
     total = float(spec.sum()) or 1.0

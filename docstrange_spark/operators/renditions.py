@@ -89,8 +89,11 @@ def with_renditions(extracted: DataFrame, formats: tuple[str, ...] = ("html", "j
 def _json_combine_envelope(payload_lists: pd.Series) -> pd.Series:
     """The reference's multi-file JSON wrapper
     (``cli.py:505-518``): ``{"results": [...], "count": N, "errors": []}``
-    serialized with indent=2. Inner documents are our canonical
-    (sorted-keys) parses."""
+    serialized with indent=2 and the reference's default ensure_ascii=True
+    (non-ASCII escapes as \\uXXXX, byte-identical for non-ASCII corpora).
+    Inner documents are our canonical (sorted-keys) parses — an
+    intentional deviation from the reference's insertion-order inner
+    keys, pinned by the byte-level test in test_combine."""
     return payload_lists.map(
         lambda lst: json.dumps(
             {
@@ -99,7 +102,6 @@ def _json_combine_envelope(payload_lists: pd.Series) -> pd.Series:
                 "errors": [],
             },
             indent=2,
-            ensure_ascii=False,
         )
     )
 

@@ -345,7 +345,14 @@ def ivf_train(
     centroid."""
     base = embeddings.select(F.col(vec_col).cast("array<double>").alias("vec"))
     # training is a sequence of jobs by nature; one tiny action reads dim
-    dim = base.select(F.size("vec").alias("d")).limit(1).collect()[0]["d"]
+    head = base.select(F.size("vec").alias("d")).limit(1).collect()
+    if not head:
+        raise ValueError(
+            "ivf_train: embeddings DataFrame is empty — cannot infer "
+            "dimensionality; train on a non-empty corpus or build seed "
+            "centroids directly with ivf_centroids(dim, n_cells)"
+        )
+    dim = head[0]["d"]
     C = ivf_centroids(dim, n_cells)
     for _ in range(iters):
         assigned = base.withColumn(

@@ -80,3 +80,108 @@ def test_cli_csv_combine_errors_without_tables(spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(str(tmp_path / "some")).first()
     assert got["count"] > 0 and "=== File " in got["combined"]
+
+
+def test_cli_list_formats(capsys):
+    """--list-formats prints the reference's grouped format listing
+    (reference cli.py:22-45) and exits 0 without needing an input."""
+    assert cli.main(["--list-formats"]) == 0
+    got = capsys.readouterr().out
+    assert got.startswith("Supported input formats:\n\n")
+    for header in ("  Documents:", "  Data Files:", "  Presentations:",
+                   "  Web:", "  Images:", "  Web Files:"):
+        assert header in got
+    for ext in ("- .pdf", "- .pptx", "- URLs", "- .html"):
+        assert ext in got
+
+
+def test_cli_stdout_single_and_multi(spark, tmp_path, capsys):
+    """No --out prints to stdout (reference cli.py:541-550): one doc
+    prints its markdown, many docs print the '---'-joined combination."""
+    src = str(tmp_path / "one_doc")
+    datagen.fixture_spans(spark).where("doc_id = 'md_structure-00000000'").write.parquet(src)
+    assert cli.main([src, "--output-format", "markdown", "--cpus", "4"]) == 0
+    single = capsys.readouterr().out
+    assert single.strip() and "---" not in single
+
+    src_all = str(tmp_path / "many_docs")
+    datagen.fixture_spans(spark).write.parquet(src_all)
+    assert cli.main([src_all, "--output-format", "markdown", "--cpus", "4"]) == 0
+    multi = capsys.readouterr().out
+    # >= 14 separators (15 docs; a doc's own horizontal rule may add more)
+    assert multi.count("\n\n---\n\n") >= 14
+    assert "# Quarterly Business Report" in multi
+
+
+def test_cli_extract_fields_stdout(spark, tmp_path, capsys):
+    """--extract-fields routes through llm.extract_fields; the fake://
+    endpoint yields the local_specified_fields envelope the reference's
+    result.extract_data returns (result.py:960-968)."""
+    import json as _json
+
+    src = str(tmp_path / "one_doc_f")
+    datagen.fixture_spans(spark).where("doc_id = 'md_structure-00000000'").write.parquet(src)
+    rc = cli.main([
+        src, "--output-format", "json",
+        "--extract-fields", "title", "total",
+        "--llm-endpoint", "fake://ok", "--cpus", "4",
+    ])
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out)
+    assert got["format"] == "local_specified_fields"
+    assert got["extractor"] == "ollama"
+    assert got["requested_fields"] == ["title", "total"]
+    assert set(got["extracted_fields"]) == {"title", "total"}
+
+
+def test_cli_json_schema_stdout_and_fallback(spark, tmp_path, capsys):
+    """--json-schema wraps in local_json_schema (result.py:970-978);
+    an unreachable endpoint degrades to the deterministic
+    structured_json parse — the reference's own fallback."""
+    import json as _json
+
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(_json.dumps(
+        {"type": "object", "properties": {"lead": {"type": "string"},
+                                          "n": {"type": "integer"}}}
+    ))
+    src = str(tmp_path / "one_doc_s")
+    datagen.fixture_spans(spark).where("doc_id = 'md_structure-00000000'").write.parquet(src)
+
+    rc = cli.main([
+        src, "--output-format", "json", "--json-schema", str(schema_file),
+        "--llm-endpoint", "fake://ok", "--cpus", "4",
+    ])
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out)
+    assert got["format"] == "local_json_schema"
+    assert set(got["extracted_data"]) == {"lead", "n"}
+    assert got["schema"]["properties"]["n"]["type"] == "integer"
+
+    rc = cli.main([
+        src, "--output-format", "json", "--json-schema", str(schema_file),
+        "--llm-endpoint", "fake://bad", "--cpus", "4",
+    ])
+    assert rc == 0
+    fb = _json.loads(capsys.readouterr().out)
+    assert fb["format"] == "structured_json"  # parse-error -> fallback parser
+
+
+def test_cli_extract_fields_requires_json(capsys):
+    rc = cli.main(["whatever", "--output-format", "csv",
+                   "--extract-fields", "a"])
+    assert rc == 2
+
+
+def test_cli_extract_fields_parquet_out(spark, tmp_path):
+    """--extract-fields with --out lands (doc_id, json) parquet rows."""
+    src = str(tmp_path / "spans_f")
+    out = str(tmp_path / "fields_out")
+    datagen.fixture_spans(spark).write.parquet(src)
+    rc = cli.main([
+        src, "--output-format", "json", "--extract-fields", "title",
+        "--llm-endpoint", "fake://ok", "--out", out, "--cpus", "4",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 15 and set(got.columns) == {"doc_id", "json"}

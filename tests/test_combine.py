@@ -79,3 +79,30 @@ def test_combine_csv_file_sections(spark, combined_inputs, ref_result):
     assert sections, "fixture corpus must contain table docs"
     assert got["combined"] == "\n\n".join(sections)
     assert got["count"] == len(sections)
+
+
+def test_combine_json_envelope_bytes_non_ascii(spark):
+    """Byte-level envelope parity on non-ASCII content: the reference
+    serializes with json.dumps(..., indent=2) and the default
+    ensure_ascii=True (cli.py:505-518), so 'café' must appear as
+    'caf\\u00e9'. Inner keys are OUR canonical sort order (documented
+    deviation); the envelope bytes are built the reference's way here,
+    independently of the operator."""
+    spans = spark.createDataFrame(
+        [
+            ("doc-a", [{"kind": "text", "text": "café déjà-vu naïve", "media_ref": "", "offset": 0}]),
+            ("doc-b", [{"kind": "heading", "text": "Überschrift", "media_ref": "h1", "offset": 0}]),
+        ],
+        datagen.SPAN_SCHEMA_DDL,
+    )
+    df = extract.extract(spans, formats=("json",))
+    got = renditions.combine_documents(df, "json").first()["combined"]
+    payloads = [
+        r["json"] for r in df.select("doc_id", "json").orderBy("doc_id").collect()
+    ]
+    exp = json.dumps(
+        {"results": [json.loads(p) for p in payloads], "count": 2, "errors": []},
+        indent=2,
+    )
+    assert got == exp
+    assert "caf\\u00e9" in got and "café" not in got

@@ -79,3 +79,17 @@ def test_unknown_format_honest_error():
         mm.decode_media(b"\x89PNG\r\n\x1a\n garbage")
     fake = mm.decode_media(b"\x89PNG junk", fake=True)
     assert len(fake) == mm.FEATURE_DIM
+
+
+def test_zero_frame_wav_features():
+    """A valid zero-frame 16-bit PCM WAV must produce a zero feature row,
+    not crash the stage (rfft on 0 samples raises, empty mean is NaN)."""
+    from docstrange_spark.operators.multimodal import encode_wav, decode_wav, _audio_features
+    import numpy as np
+
+    payload = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    x, rate = decode_wav(payload)
+    feats = _audio_features(x, rate)
+    assert len(feats) == 16
+    assert feats[0] == 0.0 and feats[1] == 8000.0
+    assert all(f == f for f in feats)  # no NaN

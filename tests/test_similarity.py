@@ -119,3 +119,11 @@ def test_embedding_dedup_identical_vectors_and_cap(spark):
     assert len(capped) == n - 1  # consecutive chain, connected component
     assert all(r["cosine"] == 1.0 for r in capped)
     assert {r["doc_b"] for r in capped} == set(range(1, n))
+
+
+def test_ivf_train_empty_raises(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.ivf_train(empty, n_cells=2, iters=1)
