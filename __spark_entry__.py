@@ -224,6 +224,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lsh_pairs(spark, sf_dir):
         return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
 
+    def q_lsh_pairs_k128(spark, sf_dir):
+        # web-scale MinHash point: k=128 signatures, 32 bands x 4 rows
+        # (all-pairs bucket expansion, the oracle configuration)
+        return dedup.lsh_candidate_pairs(
+            _docs(spark, sf_dir), k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS
+        )
+
+    def q_dedup_clusters_k128(spark, sf_dir):
+        # production clustering at the web-scale signature size, with
+        # the default hot-bucket cap engaged
+        return dedup.dedup_clusters(
+            _docs(spark, sf_dir), k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS
+        ).select(
+            "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
+        )
+
     def q_jaccard_sample(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         a = docs.select(F.col("doc_id").alias("doc_a")).where(
@@ -450,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_bands": q_lsh_bands,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_pairs_k128": q_lsh_pairs_k128,
+        "dedup_clusters_k128": q_dedup_clusters_k128,
         "jaccard_sample": q_jaccard_sample,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -793,20 +811,31 @@ sh AS (
 )
 """
 
-_MINHASH_MINS = ",\n  ".join(
-    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
-)
+def _sig_cte(k: int) -> str:
+    """MinHash signature CTE generated from k — the same (k, bands)
+    parameters the Spark operator takes, so any configuration (contract
+    k=8 or web-scale k=128) gets a bit-exact oracle."""
+    mins = ",\n  ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
+    )
+    return (
+        SHINGLE_CTE
+        + f", sigs AS (SELECT doc_id,\n  {mins}\n  FROM sh GROUP BY doc_id)"
+    )
 
-_SIG_CTE = (
-    SHINGLE_CTE
-    + f", sigs AS (SELECT doc_id,\n  {_MINHASH_MINS}\n  FROM sh GROUP BY doc_id)"
-)
 
-_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
-    f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sigs"
-    for b in range(4)
-)
+def _bands_sql(k: int, bands: int) -> str:
+    r = k // bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
+        "md5(" + " || '|' || ".join(f"mh{b * r + j}" for j in range(r))
+        + ") AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+
+
+_SIG_CTE = _sig_cte(8)
+_BANDS_SQL = _bands_sql(8, 4)
 
 _HEXV = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
 _SIMHASH_VAL = (
@@ -1416,6 +1445,40 @@ FROM w GROUP BY user_id""",
     # the production search path returns exactly the self-contained
     # search's rows on fully-sectioned documents (this corpus)
     out["search_materialized"] = out["search"]
+    # web-scale MinHash point (k=128, 32 bands x 4 rows) — same
+    # generators, bigger parameters
+    out["lsh_pairs_k128"] = (
+        _sig_cte(128)
+        + ",\nbands AS ("
+        + _bands_sql(128, 32)
+        + """)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"""
+    )
+    out["dedup_clusters_k128"] = (
+        "WITH RECURSIVE "
+        + _sig_cte(128)[len("WITH ") :]
+        + ",\nbands AS ("
+        + _bands_sql(128, 32)
+        + """),
+prs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION ALL SELECT doc_b, doc_a FROM prs
+),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY n"""
+    )
     # dedup clustering: min-label transitive closure over the banded
     # candidate pairs (recursive CTE; singletons are their own rep)
     out["dedup_clusters"] = (

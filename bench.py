@@ -93,45 +93,49 @@ def run_extract(spark, spans_path: str, out_path: str, mult: int = 1) -> float:
     return sec
 
 
-def run_aux_queries(spark, sf_dir: str, out_path: str) -> dict[str, float]:
+def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[str, float]:
+    """Each aux query executes ``runs`` times; the reported number is the
+    per-query MEDIAN, so one hypervisor-steal window can't masquerade as
+    a regression (or an improvement) in the recorded round file."""
+    import statistics
+
     from pyspark.sql import functions as F
 
     from docstrange_spark.operators import dedup, navigation, similarity
 
-    times: dict[str, float] = {}
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     md = spark.read.parquet(out_path).select("doc_id", "markdown")
-
-    times["sections"], _ = timed(
-        lambda: navigation.sections_relational(md)
-        .agg(F.count("*"), F.sum("token_count"))
-        .collect()
-    )
-    times["search"], _ = timed(
-        lambda: navigation.search_relational(md, "query").count()
-    )
     # production search path: section table materialized once (untimed,
     # amortized across queries at scale), then searched join-free
     secs_path = os.path.join(TMP, "bench_sections")
     navigation.sections_relational(md).write.mode("overwrite").parquet(secs_path)
     secs = spark.read.parquet(secs_path)
-    times["search_materialized"], _ = timed(
-        lambda: navigation.search_over_sections(secs, "query").count()
-    )
-    times["dedup_minhash_lsh"], _ = timed(
-        lambda: dedup.lsh_candidate_pairs(docs).count()
-    )
-    times["simhash"], _ = timed(
-        lambda: dedup.simhash16(docs).agg(F.count("*")).collect()
-    )
-    times["knn_bruteforce"], _ = timed(
-        lambda: similarity.knn_bruteforce(emb, [0, 1, 2, 3, 4], 10).count()
-    )
-    times["knn_lsh"], _ = timed(
-        lambda: similarity.knn_lsh(emb, [0, 1, 2, 3, 4], 10).count()
-    )
+
+    jobs = {
+        "sections": lambda: navigation.sections_relational(md)
+        .agg(F.count("*"), F.sum("token_count"))
+        .collect(),
+        "search": lambda: navigation.search_relational(md, "query").count(),
+        "search_materialized": lambda: navigation.search_over_sections(
+            secs, "query"
+        ).count(),
+        "dedup_minhash_lsh": lambda: dedup.lsh_candidate_pairs(docs).count(),
+        # the web-scale signature point (k=128, 32 bands x 4 rows) —
+        # records the cost delta vs the k=8 contract configuration
+        "dedup_minhash_lsh_k128": lambda: dedup.lsh_candidate_pairs(
+            docs, k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS
+        ).count(),
+        "simhash": lambda: dedup.simhash16(docs).agg(F.count("*")).collect(),
+        "knn_bruteforce": lambda: similarity.knn_bruteforce(
+            emb, [0, 1, 2, 3, 4], 10
+        ).count(),
+        "knn_lsh": lambda: similarity.knn_lsh(emb, [0, 1, 2, 3, 4], 10).count(),
+    }
+    times: dict[str, float] = {}
+    for name, job in jobs.items():
+        samples = [timed(job)[0] for _ in range(max(runs, 1))]
+        times[name] = statistics.median(samples)
     return times
 
 
@@ -161,22 +165,26 @@ def bench_at(
             spark.read.parquet(spans_path).limit(4096), formats=("json",)
         ).write.mode("overwrite").parquet(os.path.join(TMP, "warmup"))
 
+        import statistics
+
         extract_secs = [
             run_extract(spark, spans_path, out_path, mult=mult) for _ in range(runs)
         ]
-        # best-of-N: the host is a shared VM with bursty hypervisor steal
-        # (~40% swings between identical runs); steal only ever slows a
-        # run, so the minimum is the engine's true capability
-        extract_sec = min(extract_secs)
+        # median-of-N headline: robust to single hypervisor-steal windows
+        # in either direction (the raw runs are reported alongside; the
+        # host shows ~40% swings between identical runs)
+        extract_sec = statistics.median(extract_secs)
         queries = {"extract_pipeline": round(extract_sec, 3)}
         if aux:
-            for k, v in run_aux_queries(spark, sf_dir, out_path).items():
+            for k, v in run_aux_queries(spark, sf_dir, out_path, runs=runs).items():
                 queries[k] = round(v, 3)
         n = n_docs_of(sf) * mult
         return {
             "cores": cores,
             "sf": sf,
             "n_docs": n,
+            "runs": runs,
+            "aggregation": "median",
             "queries": queries,
             "extract_sec": round(extract_sec, 3),
             "extract_runs": [round(s, 3) for s in extract_secs],
@@ -323,7 +331,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
     ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--scaling", action="store_true",
                     help="also run local[8] vs local[32] scaling protocol")
     ap.add_argument("--no-aux", action="store_true")
@@ -348,6 +356,9 @@ def main() -> None:
         "queries": main_res["queries"],
         "sf": main_res["sf"],
         "n_docs": main_res["n_docs"],
+        "runs": main_res["runs"],
+        "aggregation": "median",
+        "extract_runs": main_res["extract_runs"],
         "docs_per_sec": main_res["docs_per_sec"],
         "cores": main_res["cores"],
     }

@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 
 MINHASH_K = 8  # 8 hash functions -> 4 bands × 2 rows (LSH)
 LSH_BANDS = 4
+# web-scale defaults: 128 hash functions, 32 bands × 4 rows — the
+# precision/recall point production near-dup pipelines run at; the
+# k=8 pair above stays as the cheap contract/oracle configuration
+WEBSCALE_K = 128
+WEBSCALE_BANDS = 32
 
 
 def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -109,6 +114,8 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     observation=None,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: bucket by (band, band_hash), emit
     ordered pairs within each bucket (distinct doc1 < doc2).
@@ -131,8 +138,9 @@ def lsh_candidate_pairs(
     the band key is planned once (ReusedExchange).
 
     ``max_bucket_size=None`` keeps exact all-pairs semantics (the oracle
-    configuration)."""
-    b = lsh_bands(minhash_signatures(df, id_col, text_col))
+    configuration). ``k``/``bands`` pick the signature size and banding
+    (``WEBSCALE_K``/``WEBSCALE_BANDS`` = the production 128/32 point)."""
+    b = lsh_bands(minhash_signatures(df, id_col, text_col, k), bands=bands, k=k)
     if max_bucket_size is None:
         buckets = (
             b.groupBy("band", "band_hash")
@@ -276,6 +284,8 @@ def dedup_clusters(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
     checkpoint_dir: str | None = None,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
     connected components → (doc_id, cluster_rep) for EVERY document
@@ -294,7 +304,9 @@ def dedup_clusters(
     ``checkpoint_dir`` for reliable checkpointing on real clusters (see
     ``connected_components``)."""
     pairs = lsh_candidate_pairs(
-        df, id_col, text_col, max_bucket_size=max_bucket_size, observation=observation
+        df, id_col, text_col,
+        max_bucket_size=max_bucket_size, observation=observation,
+        k=k, bands=bands,
     )
     return connected_components(
         df.select(id_col), pairs, id_col, checkpoint_dir=checkpoint_dir
