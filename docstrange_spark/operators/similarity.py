@@ -129,6 +129,66 @@ def _bucket_udf(n_planes: int, n_tables: int):
     return buckets
 
 
+def lsh_bucket_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ID-ONLY LSH candidate generation: distinct (vid_a, vid_b) pairs
+    sharing any (table, bucket). The hyperplane projection runs map-side
+    on the vectors, but the bucket shuffle and pair expansion downstream
+    carry ONLY (vid, tbl, bucket) scalars — at dim 768+ this halves (or
+    better, with multi-table collisions) the shuffle bytes of a
+    vector-carrying bucket self-join. Pair expansion is the same
+    JVM-side sorted-members transform/slice as ``dedup``'s banded LSH;
+    ``max_bucket_size`` chain-caps degenerate buckets identically
+    (consecutive links, component preserved)."""
+    ids = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            _bucket_udf(n_planes, n_tables)(
+                F.col(vec_col).cast("array<double>")
+            )
+        ).alias("tbl", "bucket"),
+    )
+    pair_expand = F.explode(
+        F.expr(
+            "flatten(transform(members, (x, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "y -> struct(x AS vid_a, y AS vid_b))))"
+        )
+    ).alias("p")
+    if max_bucket_size is None:
+        buckets = (
+            ids.groupBy("tbl", "bucket")
+            .agg(F.sort_array(F.collect_list("vid")).alias("members"))
+            .where(F.size("members") > 1)
+        )
+        return buckets.select(pair_expand).select("p.vid_a", "p.vid_b").distinct()
+    w = Window.partitionBy("tbl", "bucket")
+    sized = ids.withColumn("bsize", F.count("*").over(w))
+    small_pairs = (
+        sized.where(F.col("bsize").between(2, max_bucket_size))
+        .groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vid")).alias("members"))
+        .select(pair_expand)
+        .select("p.vid_a", "p.vid_b")
+    )
+    wchain = Window.partitionBy("tbl", "bucket").orderBy("vid")
+    big_pairs = (
+        sized.where(F.col("bsize") > max_bucket_size)
+        .select(
+            F.lag("vid").over(wchain).alias("vid_a"),
+            F.col("vid").alias("vid_b"),
+        )
+        .where(F.col("vid_a").isNotNull())
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def embedding_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -137,6 +197,7 @@ def embedding_dedup_pairs(
     max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_only_candidates: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) for every
     LSH-bucket-sharing pair with rounded cosine >= threshold, a < b.
@@ -147,36 +208,59 @@ def embedding_dedup_pairs(
     ``max_bucket_size`` chain-caps degenerate buckets (e.g. a corpus of
     zero vectors) exactly like ``dedup.lsh_candidate_pairs``: oversized
     buckets link consecutive members only, preserving the cluster's
-    connected component with linear output."""
-    flat = embeddings.select(
+    connected component with linear output.
+
+    ``id_only_candidates`` (default, the 100 TB shape) generates the
+    candidate pairs with ``lsh_bucket_candidates`` — only id scalars
+    cross the bucket shuffle — then re-joins the distinct pairs to the
+    vectors for the exact re-rank, computing each pair's cosine ONCE
+    instead of once per colliding table. ``False`` keeps the original
+    vector-carrying bucket self-join (one fewer join when vectors are
+    tiny). Both produce identical output."""
+    base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", _norm(F.col("vec"))).select(
-        "vid", "vec", "nrm",
-        F.posexplode(_bucket_udf(n_planes, n_tables)(F.col("vec"))).alias(
-            "tbl", "bucket"
-        ),
-    )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("tbl", "bucket")
-        sized = flat.withColumn("bsize", F.count("*").over(w))
-        small = sized.where(F.col("bsize") <= max_bucket_size).drop("bsize")
-        wchain = Window.partitionBy("tbl", "bucket").orderBy("vid")
-        big = sized.where(F.col("bsize") > max_bucket_size)
-        chain = big.select(
-            "tbl", "bucket",
-            F.lag("vid").over(wchain).alias("vid_a"),
-            F.lag("vec").over(wchain).alias("vec_a"),
-            F.lag("nrm").over(wchain).alias("nrm_a"),
-            F.col("vid").alias("vid_b"),
-            F.col("vec").alias("vec_b"),
-            F.col("nrm").alias("nrm_b"),
-        ).where(F.col("vid_a").isNotNull())
-        joined = _bucket_pair_join(small).unionByName(
-            chain.select("vid_a", "vec_a", "nrm_a", "vid_b", "vec_b", "nrm_b")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    if id_only_candidates:
+        pairs = lsh_bucket_candidates(
+            embeddings, n_planes, n_tables, max_bucket_size, id_col, vec_col
         )
+        va = base.select(
+            F.col("vid").alias("vid_a"), F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        vb = base.select(
+            F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        joined = pairs.join(va, "vid_a").join(vb, "vid_b")
     else:
-        joined = _bucket_pair_join(flat)
+        flat = base.select(
+            "vid", "vec", "nrm",
+            F.posexplode(_bucket_udf(n_planes, n_tables)(F.col("vec"))).alias(
+                "tbl", "bucket"
+            ),
+        )
+        if max_bucket_size is not None:
+            w = Window.partitionBy("tbl", "bucket")
+            sized = flat.withColumn("bsize", F.count("*").over(w))
+            small = sized.where(F.col("bsize") <= max_bucket_size).drop("bsize")
+            wchain = Window.partitionBy("tbl", "bucket").orderBy("vid")
+            big = sized.where(F.col("bsize") > max_bucket_size)
+            chain = big.select(
+                "tbl", "bucket",
+                F.lag("vid").over(wchain).alias("vid_a"),
+                F.lag("vec").over(wchain).alias("vec_a"),
+                F.lag("nrm").over(wchain).alias("nrm_a"),
+                F.col("vid").alias("vid_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("nrm").alias("nrm_b"),
+            ).where(F.col("vid_a").isNotNull())
+            joined = _bucket_pair_join(small).unionByName(
+                chain.select("vid_a", "vec_a", "nrm_a", "vid_b", "vec_b", "nrm_b")
+            )
+        else:
+            joined = _bucket_pair_join(flat)
     scored = joined.select(
         F.col("vid_a").alias("doc_a"),
         F.col("vid_b").alias("doc_b"),
