@@ -432,10 +432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the (table-less -> empty) CSV byte-for-byte.
         out = extract.extract(
             spanize.spanize(_docs(spark, sf_dir)),
-            formats=("html", "json", "csv"),
+            formats=("html", "json", "csv", "html_gpu", "json_cloud"),
             include_spans=False,
         )
-        return out.select("doc_id", "html", "json", "csv")
+        return out.select(
+            "doc_id", "html", "json", "csv", "html_gpu", "json_cloud"
+        )
 
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
@@ -625,6 +627,14 @@ def _sq(s: str) -> str:
 
 def _renditions_oracle() -> str:
     from docstrange_spark.kernels.html_shell import PAGE_PREFIX, PAGE_SUFFIX
+    from docstrange_spark.kernels.mdhtml import add_gpu_badge
+
+    # R6: the badge lands right after the opening <body> tag, which
+    # lives inside the fixed page shell — inject it into the prefix
+    # constant here (python-side, independent of the kernel's runtime
+    # path) so the SQL composes the badged page the same way
+    badged_prefix = add_gpu_badge(PAGE_PREFIX)
+    assert badged_prefix != PAGE_PREFIX
 
     return (
         MD_CTE
@@ -644,7 +654,10 @@ html AS (
   SELECT b.doc_id,
          '{_sq(PAGE_PREFIX)}' || '<h1>' || b.title || '</h1>' ||
          CASE WHEN hb.body IS NULL THEN '' ELSE chr(10) || hb.body END ||
-         '{_sq(PAGE_SUFFIX)}' AS html
+         '{_sq(PAGE_SUFFIX)}' AS html,
+         '{_sq(badged_prefix)}' || '<h1>' || b.title || '</h1>' ||
+         CASE WHEN hb.body IS NULL THEN '' ELSE chr(10) || hb.body END ||
+         '{_sq(PAGE_SUFFIX)}' AS html_gpu
   FROM base b LEFT JOIN hbody hb USING (doc_id)
 ),
 jparts AS (
@@ -662,17 +675,20 @@ jsubs AS (
 ),
 js AS (
   SELECT b.doc_id,
-         '{{"document": {{"metadata": {{"has_code_blocks": false, "has_images": false, "has_lists": false, "has_tables": false, "max_heading_level": '
+         '{{"metadata": {{"has_code_blocks": false, "has_images": false, "has_lists": false, "has_tables": false, "max_heading_level": '
          || CASE WHEN j.subs IS NULL THEN '1' ELSE '2' END
          || ', "total_sections": ' || (1 + coalesce(j.n_parts, 0))
          || '}}, "sections": [{{"content": {{}}, "level": 1, '
          || CASE WHEN j.subs IS NULL THEN ''
                  ELSE '"subsections": [' || j.subs || '], ' END
          || '"title": "' || b.title
-         || '", "type": "section"}}]}}, "format": "structured_json"}}' AS json
+         || '", "type": "section"}}]}}' AS docpart
   FROM base b LEFT JOIN jsubs j USING (doc_id)
 )
-SELECT h.doc_id, h.html, js.json, '' AS csv
+SELECT h.doc_id, h.html, h.html_gpu,
+       '{{"document": ' || js.docpart || ', "format": "structured_json"}}' AS json,
+       '{{"document": ' || js.docpart || ', "format": "cloud_flat_json"}}' AS json_cloud,
+       '' AS csv
 FROM html h JOIN js USING (doc_id)"""
     )
 

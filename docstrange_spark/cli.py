@@ -103,7 +103,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--output-format",
         default="markdown",
-        choices=["markdown", "text", "html", "json", "csv", "all"],
+        choices=["markdown", "text", "html", "json", "csv",
+                 "html_gpu", "json_cloud", "all"],
     )
     ap.add_argument("--spanize", action="store_true",
                     help="input is (doc_id, text) — bridge it to spans first")
@@ -147,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         ("json", "html", "csv")
         if args.output_format == "all"
         else (args.output_format,)
-        if args.output_format in ("json", "html", "csv")
+        if args.output_format in ("json", "html", "csv", "html_gpu", "json_cloud")
         else ()
     )
 

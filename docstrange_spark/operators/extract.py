@@ -70,12 +70,20 @@ RENDITION_COLS = {
     "json": " json string",
     "html": " html string",
     "csv": " csv string",
+    # processor-selected variants: R6 (GPU-badged page,
+    # gpu_processor.py:60-78) and R7 (cloud flat-json envelope,
+    # cloud_processor.py:168-175) as first-class fused renditions
+    "html_gpu": " html_gpu string",
+    "json_cloud": " json_cloud string",
     "meta": (
         " doc_meta struct<"
         + ",".join(f"{n}:{t}" for n, t, _ in META_FIELDS)
         + ">"
     ),
 }
+
+# rendition column emission order (schema construction)
+_FORMAT_ORDER = ("json", "html", "csv", "html_gpu", "json_cloud", "meta")
 
 # max spans per kernel invocation (memory ceiling per Python worker)
 MAX_BATCH_SPANS = 1 << 17
@@ -210,14 +218,24 @@ def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
             from docstrange_spark.kernels import mdcsv, mdhtml, mdjson
 
         def _finish(out: pd.DataFrame) -> pd.DataFrame:
-            if "json" in formats or "meta" in formats:
-                # one parse per doc feeds both the JSON rendition and
-                # the typed metadata struct
+            if {"json", "meta", "json_cloud"} & set(formats):
+                # one parse per doc feeds the JSON rendition, the typed
+                # metadata struct, AND the cloud envelope
                 parsed = out["markdown"].map(mdjson.parse_markdown)
                 if "json" in formats:
                     out["json"] = parsed.map(
                         lambda d: json.dumps(
                             {**d, "format": "structured_json"},
+                            ensure_ascii=False,
+                            sort_keys=True,
+                        )
+                    )
+                if "json_cloud" in formats:
+                    # R7: the cloud processor's flat-json result shape
+                    # (cloud_processor.py:168-175) around the same parse
+                    out["json_cloud"] = parsed.map(
+                        lambda d: json.dumps(
+                            {"document": d["document"], "format": "cloud_flat_json"},
                             ensure_ascii=False,
                             sort_keys=True,
                         )
@@ -231,6 +249,11 @@ def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
                     )
             if "html" in formats:
                 out["html"] = out["markdown"].map(mdhtml.markdown_to_html_page)
+            if "html_gpu" in formats:
+                # R6: the GPU processor's badged page (gpu_processor.py:60-78)
+                out["html_gpu"] = out["markdown"].map(
+                    lambda m: mdhtml.add_gpu_badge(mdhtml.markdown_to_html_page(m))
+                )
             if "csv" in formats:
                 out["csv"] = out["markdown"].map(mdcsv.markdown_to_csv)
             return out
@@ -280,7 +303,7 @@ NOSPANS_SCHEMA = (
 def _schema_for(formats: tuple[str, ...], include_spans: bool = True) -> str:
     base = BASE_SCHEMA if include_spans else NOSPANS_SCHEMA
     return base + "".join(
-        "," + RENDITION_COLS[f] for f in ("json", "html", "csv", "meta") if f in formats
+        "," + RENDITION_COLS[f] for f in _FORMAT_ORDER if f in formats
     )
 
 

@@ -57,3 +57,32 @@ def test_slicer_unit():
     for c in chunks:
         sizes = c["spans"].map(len)
         assert sizes.sum() <= 100 or len(c) == 1
+
+
+def test_fused_processor_variants_html_gpu_json_cloud(spark):
+    """R6/R7 as fused formats: html_gpu is the GPU-badged page
+    (gpu_processor.py:60-78 byte format), json_cloud is the cloud flat
+    envelope (cloud_processor.py:168-175) around the same canonical
+    parse as the json rendition."""
+    import json as _json
+
+    from docstrange_spark.kernels import mdhtml
+
+    df = extract.extract(
+        datagen.fixture_spans(spark),
+        formats=("json", "html", "html_gpu", "json_cloud"),
+        include_spans=False,
+    )
+    rows = df.select("markdown", "json", "html", "html_gpu", "json_cloud").collect()
+    assert rows
+    for r in rows:
+        assert r["html_gpu"] == mdhtml.add_gpu_badge(r["html"])
+        assert 'GPU Processed' in r["html_gpu"]
+        cloud = _json.loads(r["json_cloud"])
+        plain = _json.loads(r["json"])
+        assert cloud["format"] == "cloud_flat_json"
+        assert cloud["document"] == plain["document"]
+        # byte construction matches the operator-level envelope helper
+        from docstrange_spark.operators import llm
+
+        assert cloud == llm.cloud_envelope_document(plain["document"])
