@@ -311,6 +311,51 @@ def extract_document_json(
 
 
 # ---------------------------------------------------------------------------
+# GPU-path JSON repair (deterministic part of U4): the exact cleanup
+# chain the reference's GPU processor applies to model output before
+# parsing (``gpu_processor.py:176-186``) — wrap bare keys in double
+# quotes, replace single quotes, and degrade to ``{"raw_text": ...}``
+# when still unparseable. The model inference itself stays out of scope;
+# the repair is a pure string function any pipeline output can reuse.
+
+_BARE_KEY = re.compile(r"(\w+):")
+
+
+def repair_json_gpu(text: str) -> dict:
+    """Parse model-emitted JSON with the reference GPU processor's
+    repair heuristics, byte-compatible with ``try_parse_json``:
+    plain parse first; else ``(\\w+): -> "\\1":`` then ``' -> "`` and
+    reparse; else ``{"raw_text": <original text>}``."""
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # reference quirk, preserved for byte parity: its ``text``
+        # variable is reassigned by the repair steps BEFORE the reparse,
+        # so the raw_text fallback carries the REPAIRED string, not the
+        # original input
+        try:
+            text = _BARE_KEY.sub(r'"\1":', text)
+            text = text.replace("'", '"')
+            return json.loads(text)
+        except Exception:
+            return {"raw_text": text}
+
+
+def gpu_envelope(extracted: dict, ocr_provider: str = "nanonets") -> dict:
+    """The GPU processor's result shape (``gpu_processor.py:191-203``),
+    deterministic fields only (runtime file paths omitted)."""
+    return {
+        "document": extracted,
+        "format": "gpu_structured_json",
+        "gpu_processing_info": {
+            "ocr_provider": ocr_provider,
+            "processing_mode": "gpu",
+            "json_extraction_method": "nanonets_model",
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # R7 (deterministic part): the cloud result envelope shapes
 # (``cloud_processor.py:140-184``). The external API itself is out of
 # scope; these wrap OUR extraction outputs in the exact dict shapes the

@@ -134,3 +134,49 @@ def test_cloud_envelope_shapes(mddf):
     assert env["extracted_fields_enveloped"] == json.dumps(
         parsed, ensure_ascii=False
     )
+
+
+def test_repair_json_gpu_differential():
+    """Byte-for-byte differential vs the reference GPU processor's
+    try_parse_json (gpu_processor.py:176-186), reimplemented here from
+    its source: plain parse, bare-key + quote repair, raw_text fallback."""
+    import json as _json
+    import re as _re
+
+    from docstrange_spark.operators.llm import repair_json_gpu
+
+    def reference_try_parse_json(text):
+        try:
+            return _json.loads(text)
+        except _json.JSONDecodeError:
+            try:
+                text = _re.sub(r"(\w+):", r'"\1":', text)
+                text = text.replace("'", '"')
+                return _json.loads(text)
+            except Exception:
+                return {"raw_text": text}
+
+    cases = [
+        '{"a": 1, "b": "x"}',                 # already valid
+        "{a: 1, b: 'two'}",                   # bare keys + single quotes
+        "{total: 42, note: 'it''s'}",         # repair makes it worse -> raw_text
+        "not json at all",
+        "{'nested': {'k': 3}}",
+        "[1, 2, 3]",                          # non-dict valid JSON passes through
+        "{price: 9.5}",
+        "",
+    ]
+    for c in cases:
+        assert repair_json_gpu(c) == reference_try_parse_json(c), c
+
+
+def test_gpu_envelope_shape():
+    from docstrange_spark.operators.llm import gpu_envelope, repair_json_gpu
+
+    got = gpu_envelope(repair_json_gpu("{invoice: '12'}"))
+    assert got["format"] == "gpu_structured_json"
+    assert got["document"] == {"invoice": "12"}
+    info = got["gpu_processing_info"]
+    assert info["ocr_provider"] == "nanonets"
+    assert info["processing_mode"] == "gpu"
+    assert info["json_extraction_method"] == "nanonets_model"
