@@ -225,17 +225,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
 
     def q_lsh_pairs_k128(spark, sf_dir):
-        # web-scale MinHash point: k=128 signatures, 32 bands x 4 rows
-        # (all-pairs bucket expansion, the oracle configuration)
+        # web-scale MinHash point: k=128 signatures, 32 bands x 4 rows,
+        # affine derived hashes (one md5 per shingle, MLlib-style)
         return dedup.lsh_candidate_pairs(
-            _docs(spark, sf_dir), k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS
+            _docs(spark, sf_dir), k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS,
+            scheme="affine",
         )
 
     def q_dedup_clusters_k128(spark, sf_dir):
         # production clustering at the web-scale signature size, with
         # the default hot-bucket cap engaged
         return dedup.dedup_clusters(
-            _docs(spark, sf_dir), k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS
+            _docs(spark, sf_dir), k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS,
+            scheme="affine",
         ).select(
             "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
         )
@@ -827,24 +829,39 @@ sh AS (
 )
 """
 
-def _sig_cte(k: int) -> str:
-    """MinHash signature CTE generated from k — the same (k, bands)
+def _sig_cte(k: int, scheme: str = "md5") -> str:
+    """MinHash signature CTE generated from (k, scheme) — the same
     parameters the Spark operator takes, so any configuration (contract
-    k=8 or web-scale k=128) gets a bit-exact oracle."""
-    mins = ",\n  ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
-    )
+    k=8 md5 or web-scale k=128 affine) gets a bit-exact oracle. The
+    affine scheme recomputes the identical derived-hash arithmetic:
+    one md5 per shingle -> 28-bit base h, per-function md5-derived
+    constants, (a_i*h + b_i) mod (2^31-1)."""
+    if scheme == "affine":
+        h = "('0x' || substr(md5(shingle), 1, 7))::BIGINT"
+        a = lambda i: f"(('0x' || substr(md5('a|{i}'), 1, 7))::BIGINT | 1)"
+        b = lambda i: f"('0x' || substr(md5('b|{i}'), 1, 7))::BIGINT"
+        mins = ",\n  ".join(
+            f"min(({a(i)} * {h} + {b(i)}) % 2147483647) AS mh{i}"
+            for i in range(k)
+        )
+    else:
+        mins = ",\n  ".join(
+            f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
+        )
     return (
         SHINGLE_CTE
         + f", sigs AS (SELECT doc_id,\n  {mins}\n  FROM sh GROUP BY doc_id)"
     )
 
 
-def _bands_sql(k: int, bands: int) -> str:
+def _bands_sql(k: int, bands: int, scheme: str = "md5") -> str:
     r = k // bands
+    # numeric affine signatures concat through their decimal string form
+    # — the same representation Spark's concat_ws produces for bigint
+    col = (lambda i: f"mh{i}::VARCHAR") if scheme == "affine" else (lambda i: f"mh{i}")
     return " UNION ALL ".join(
         f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
-        "md5(" + " || '|' || ".join(f"mh{b * r + j}" for j in range(r))
+        "md5(" + " || '|' || ".join(col(b * r + j) for j in range(r))
         + ") AS band_hash FROM sigs"
         for b in range(bands)
     )
@@ -1464,9 +1481,9 @@ FROM w GROUP BY user_id""",
     # web-scale MinHash point (k=128, 32 bands x 4 rows) — same
     # generators, bigger parameters
     out["lsh_pairs_k128"] = (
-        _sig_cte(128)
+        _sig_cte(128, "affine")
         + ",\nbands AS ("
-        + _bands_sql(128, 32)
+        + _bands_sql(128, 32, "affine")
         + """)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
@@ -1474,9 +1491,9 @@ FROM bands l JOIN bands r
     )
     out["dedup_clusters_k128"] = (
         "WITH RECURSIVE "
-        + _sig_cte(128)[len("WITH ") :]
+        + _sig_cte(128, "affine")[len("WITH ") :]
         + ",\nbands AS ("
-        + _bands_sql(128, 32)
+        + _bands_sql(128, 32, "affine")
         + """),
 prs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

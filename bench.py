@@ -121,10 +121,11 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
             secs, "query"
         ).count(),
         "dedup_minhash_lsh": lambda: dedup.lsh_candidate_pairs(docs).count(),
-        # the web-scale signature point (k=128, 32 bands x 4 rows) —
-        # records the cost delta vs the k=8 contract configuration
+        # the web-scale signature point (k=128, 32 bands x 4 rows,
+        # affine one-md5-per-shingle signatures) — records the cost
+        # delta vs the k=8 contract configuration
         "dedup_minhash_lsh_k128": lambda: dedup.lsh_candidate_pairs(
-            docs, k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS
+            docs, k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS, scheme="affine"
         ).count(),
         "simhash": lambda: dedup.simhash16(docs).agg(F.count("*")).collect(),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(

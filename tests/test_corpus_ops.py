@@ -317,3 +317,45 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     import os
 
     assert os.listdir(tmp_path / "cc_ckpt"), "reliable checkpoint wrote nothing"
+
+
+def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, documents):
+    """The affine (one-md5-per-shingle) web-scale scheme: exact
+    duplicates must always collide in every band (same shingle set ->
+    same base hashes -> same signature), and the derived-hash arithmetic
+    must match a direct numpy recomputation (the oracle's construction)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    # exact-dup guarantee: duplicate 5 real docs under new ids
+    dup = documents.limit(5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    corpus = documents.select("doc_id", "text").unionByName(dup)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            corpus, k=32, bands=8, scheme="affine"
+        ).collect()
+    }
+    originals = [r["doc_id"] for r in documents.limit(5).collect()]
+    for o in originals:
+        assert (o, o + 100_000) in pairs
+
+    # arithmetic parity with the oracle construction
+    sig = dedup.minhash_signatures(
+        documents.limit(1), k=4, scheme="affine"
+    ).collect()[0]
+    row = documents.limit(1).collect()[0]
+    toks = row["text"].lower().split(" ")
+    shingles_ = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hs = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles_],
+        dtype=np.int64,
+    )
+    for i in range(4):
+        a = int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:7], 16)
+        assert sig[f"mh{i}"] == int(((a * hs + b) % 2_147_483_647).min())
