@@ -292,8 +292,10 @@ def write_baseline_md(levels: dict[int, dict], main) -> dict[str, float]:
             f"{MEGA_EVERY}.\n"
             "Pipeline timed: read parquet -> salted repartition "
             "(xxhash64(doc_id)) -> mapInPandas extract kernel (fused JSON "
-            "rendition) -> parquet write. Best of timed runs (the host is a "
-            "shared VM with bursty hypervisor steal; steal only slows).\n\n"
+            "rendition) -> parquet write. Per-query MEDIANS of the timed "
+            "runs (robust to the host VM's bursty hypervisor steal in "
+            "either direction; raw extract runs are recorded in the JSON "
+            "output).\n\n"
             "## Method: N vs 4N on one box\n\n"
             "Each level runs in its own process, CPU-affinity-pinned to its "
             "core count (`taskset`; JVM + Python workers inherit it) — the "

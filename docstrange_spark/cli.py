@@ -56,17 +56,23 @@ def _llm_json_payloads(out, args):
     llm path wraps in local_specified_fields / local_json_schema, any
     unavailable/parse-error row degrades to the deterministic
     structured_json parse — the reference's own fallback
-    (result.py:1001-1009). Returns (doc_id, payload) DataFrame."""
+    (result.py:1001-1009). Returns (doc_id, payload) DataFrame.
+
+    ``out`` already carries the fused ``json`` rendition (the fields/
+    schema paths force ``formats=("json",)``), which is byte-identical
+    to what a fresh md_to_json pass would produce — reusing it avoids a
+    second chained Python-UDF stage (which doubles Python workers per
+    task; see extract.py's fused-renditions note)."""
     from pyspark.sql import functions as F
 
-    from docstrange_spark.operators import llm, renditions
+    from docstrange_spark.operators import llm
 
-    fallback = renditions.md_to_json(F.col("markdown"))
+    fallback = F.col("json")
     if args.extract_fields:
         fielded = llm.extract_fields(
             out, args.extract_fields, endpoint=args.llm_endpoint, model=args.llm_model
         ).withColumnRenamed("extracted_fields", "payload_inner")
-        src = out.select("doc_id", "markdown").join(fielded, "doc_id")
+        src = out.select("doc_id", "json").join(fielded, "doc_id")
         envelope = F.concat(
             F.lit('{"extracted_fields": '),
             F.col("payload_inner"),
@@ -79,7 +85,7 @@ def _llm_json_payloads(out, args):
         structured = llm.extract_with_schema(
             out, schema, endpoint=args.llm_endpoint, model=args.llm_model
         ).withColumnRenamed("extracted_json", "payload_inner")
-        src = out.select("doc_id", "markdown").join(structured, "doc_id")
+        src = out.select("doc_id", "json").join(structured, "doc_id")
         envelope = F.concat(
             F.lit('{"extracted_data": '),
             F.col("payload_inner"),
@@ -133,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if (args.extract_fields or args.json_schema) and args.output_format != "json":
         print("Error: --extract-fields/--json-schema need --output-format json",
+              file=sys.stderr)
+        return 2
+    if args.extract_fields and args.json_schema:
+        print("Error: --extract-fields and --json-schema are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    if (args.extract_fields or args.json_schema) and args.resume:
+        print("Error: --resume does not support --extract-fields/--json-schema",
               file=sys.stderr)
         return 2
 
@@ -191,12 +205,17 @@ def main(argv: list[str] | None = None) -> int:
             print("stdout mode needs a single output format", file=sys.stderr)
             return 2
         col = "markdown" if args.output_format in ("markdown", "text") else args.output_format
+        # format families: the GPU/cloud variants combine like their base
+        # format (json_cloud payloads are JSON -> envelope; html_gpu pages
+        # join on <hr>)
+        jsonish = args.output_format in ("json", "json_cloud")
+        htmlish = args.output_format in ("html", "html_gpu")
         collected = (
             out.select("doc_id", F.col(col).alias("payload")).orderBy("doc_id").collect()
         )
         if len(collected) == 1:
             payload = collected[0]["payload"]
-            if args.output_format == "json":
+            if jsonish:
                 payload = json.dumps(json.loads(payload), indent=2)
             elif args.output_format == "csv" and not payload.strip():
                 # reference single-file parity (result.py:1064 via cli.py:480)
@@ -204,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 1
             print(payload)
-        elif args.output_format == "json":
+        elif jsonish:
             print(json.dumps(
                 {
                     "results": [json.loads(r["payload"]) for r in collected],
@@ -227,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             print("\n\n".join(sections))
         else:
-            sep = "\n\n<hr>\n\n" if args.output_format == "html" else "\n\n---\n\n"
+            sep = "\n\n<hr>\n\n" if htmlish else "\n\n---\n\n"
             print(sep.join(r["payload"] for r in collected))
         return 0
 

@@ -134,6 +134,11 @@ def lsh_bands(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> Da
     Documents sharing any (band, band_hash) are near-dup candidates.
     Built as ONE projection + explode (a union of per-band selects would
     recompute the signature lineage once per band)."""
+    if k % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide k ({k}): a non-divisor would "
+            "silently drop the trailing hash functions from banding"
+        )
     rows_per_band = k // bands
     entries = [
         F.struct(
@@ -264,15 +269,38 @@ def connected_components(
     blocks pin executor memory for the loop's lifetime. Pass
     ``checkpoint_dir`` (an HDFS/S3 path at scale) to switch every round
     to *reliable* ``checkpoint()``: blocks land on fault-tolerant
-    storage, executor loss is recoverable, memory is released. Local
-    mode and the oracles keep the default."""
+    storage, executor loss is recoverable, memory is released. Each
+    round checkpoints into its own subdirectory and the PREVIOUS round's
+    subdirectory is deleted once the new round has materialized (Spark
+    never garbage-collects reliable checkpoints on its own), so the
+    store holds at most two rounds + the edge set instead of growing by
+    ~3 snapshots per round. Local mode and the oracles keep the
+    default."""
+    spark = vertices.sparkSession
     if checkpoint_dir is not None:
-        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _set_round_dir(tag: str) -> None:
+            spark.sparkContext.setCheckpointDir(f"{checkpoint_dir}/{tag}")
+
+        def _rm_round_dir(tag: str) -> None:
+            # Hadoop FS delete — works for file://, hdfs://, s3a:// alike
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{tag}")
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+
+        _set_round_dir("edges")
 
         def _cp(df: DataFrame) -> DataFrame:
             return df.checkpoint()
 
     else:
+
+        def _set_round_dir(tag: str) -> None:
+            pass
+
+        def _rm_round_dir(tag: str) -> None:
+            pass
 
         def _cp(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
@@ -286,7 +314,8 @@ def connected_components(
     labels = _cp(
         vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
     )
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
+        _set_round_dir(f"round_{round_no}")
         prop = (
             edges.join(labels, edges["src"] == labels["vid"])
             .groupBy("dst")
@@ -325,6 +354,10 @@ def connected_components(
         nxt = _cp(nxt)
         changed = nxt.where(F.col("new_label") != F.col("old_label")).count()
         labels = nxt.select("vid", F.col("new_label").alias("label"))
+        # this round's checkpoints are materialized (checkpoint() is
+        # eager); the previous round's files are dead — reclaim them
+        if round_no > 0:
+            _rm_round_dir(f"round_{round_no - 1}")
         if changed == 0:
             break
     else:

@@ -136,13 +136,15 @@ def combine_documents(extracted: DataFrame, fmt: str = "markdown") -> DataFrame:
             ).alias("combined"),
             F.count("*").alias("count"),
         )
-    if fmt == "json":
+    if fmt in ("json", "json_cloud"):
+        # the cloud-envelope variant combines like json: its payloads
+        # are JSON documents, so they belong in the results array
         sorted_payloads = F.expr(
             "transform(array_sort(collect_list(struct(doc_id, payload))),"
             " x -> x.payload)"
         )
         return (
-            extracted.select("doc_id", F.col("json").alias("payload"))
+            extracted.select("doc_id", F.col(fmt).alias("payload"))
             .agg(
                 sorted_payloads.alias("payloads"),
                 F.count("*").alias("count"),
@@ -152,7 +154,8 @@ def combine_documents(extracted: DataFrame, fmt: str = "markdown") -> DataFrame:
                 "count",
             )
         )
-    sep = "\n\n<hr>\n\n" if fmt == "html" else "\n\n---\n\n"
+    # html_gpu pages join like html (reference <hr> separator)
+    sep = "\n\n<hr>\n\n" if fmt in ("html", "html_gpu") else "\n\n---\n\n"
     col = "markdown" if fmt in ("markdown", "text") else fmt
     # array_sort on (doc_id, payload) structs gives a deterministic join
     # order regardless of shuffle arrival order

@@ -185,3 +185,35 @@ def test_cli_extract_fields_parquet_out(spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(out)
     assert got.count() == 15 and set(got.columns) == {"doc_id", "json"}
+
+
+def test_cli_variant_formats_combine_families(spark, tmp_path, capsys):
+    """html_gpu combines like html (<hr> separator) and json_cloud like
+    json ({results,count,errors} envelope), in both stdout-multi mode
+    and combine_documents; conflicting/unsupported flag pairs exit 2."""
+    import json as _json
+
+    src = str(tmp_path / "spans_v")
+    datagen.fixture_spans(spark).limit(3).write.parquet(src)
+
+    assert cli.main([src, "--output-format", "html_gpu", "--cpus", "4"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("\n\n<hr>\n\n") == 2 and "GPU Processed" in out
+
+    assert cli.main([src, "--output-format", "json_cloud", "--cpus", "4"]) == 0
+    env = _json.loads(capsys.readouterr().out)
+    assert env["count"] == 3 and len(env["results"]) == 3
+    assert all(r["format"] == "cloud_flat_json" for r in env["results"])
+
+    outdir = str(tmp_path / "jc_combined")
+    assert cli.main([src, "--output-format", "json_cloud", "--combine",
+                     "--out", outdir, "--cpus", "4"]) == 0
+    row = spark.read.parquet(outdir).first()
+    combined = _json.loads(row["combined"])
+    assert combined["count"] == 3
+
+    # flag validation
+    assert cli.main([src, "--output-format", "json", "--extract-fields", "a",
+                     "--json-schema", "x.json"]) == 2
+    assert cli.main([src, "--output-format", "json", "--extract-fields", "a",
+                     "--resume", "--out", str(tmp_path / "r")]) == 2

@@ -316,7 +316,13 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2}
     import os
 
-    assert os.listdir(tmp_path / "cc_ckpt"), "reliable checkpoint wrote nothing"
+    dirs = sorted(os.listdir(tmp_path / "cc_ckpt"))
+    assert dirs, "reliable checkpoint wrote nothing"
+    # superseded rounds are reclaimed: only the edge/base dir and the
+    # latest round survive (Spark never GCs reliable checkpoints itself)
+    rounds = [d for d in dirs if d.startswith("round_")]
+    assert len(rounds) <= 1, dirs
+    assert "edges" in dirs
 
 
 def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, documents):
