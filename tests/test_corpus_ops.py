@@ -365,3 +365,35 @@ def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, doc
         a = int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:7], 16) | 1
         b = int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:7], 16)
         assert sig[f"mh{i}"] == int(((a * hs + b) % 2_147_483_647).min())
+
+
+def test_k128_banding_recall_at_threshold(spark):
+    """Web-scale banding quality (k=128, b=32, r=4): pairs with n-gram
+    Jaccard >= ~0.8 must surface as candidates. Deterministic corpus:
+    40 base docs, each with a near-dup sharing a long common prefix
+    (high shingle overlap) plus 120 unrelated filler docs. With r=4
+    rows/band and 32 bands the analytic miss rate at s=0.8 is
+    (1 - s^4)^32 ~ 5e-8 per pair, so every planted pair must appear."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d in range(40):
+        base = [f"w{d}_{j}" for j in range(40)]
+        rows.append((d, " ".join(base)))
+        near = base[:36] + [f"m{d}_{j}" for j in range(4)]  # ~0.8 Jaccard
+        rows.append((d + 1000, " ".join(near)))
+    for f in range(120):
+        rows.append((f + 5000, " ".join(f"f{f}_{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            docs, k=dedup.WEBSCALE_K, bands=dedup.WEBSCALE_BANDS, scheme="affine"
+        ).collect()
+    }
+    for d in range(40):
+        assert (d, d + 1000) in pairs, f"planted near-dup pair {d} missed"
+    # filler docs share no shingles with anything: no spurious pairs
+    # among them (band hashes differ with overwhelming margin)
+    spurious = [p for p in pairs if p[0] >= 5000 and p[1] >= 5000]
+    assert not spurious, spurious[:5]
