@@ -247,13 +247,15 @@ def _make_kernel(formats: tuple[str, ...] = (), include_spans: bool = True):
                             for k, _, dflt in META_FIELDS
                         }
                     )
-            if "html" in formats:
-                out["html"] = out["markdown"].map(mdhtml.markdown_to_html_page)
-            if "html_gpu" in formats:
-                # R6: the GPU processor's badged page (gpu_processor.py:60-78)
-                out["html_gpu"] = out["markdown"].map(
-                    lambda m: mdhtml.add_gpu_badge(mdhtml.markdown_to_html_page(m))
-                )
+            if "html" in formats or "html_gpu" in formats:
+                # one page render feeds both the plain and badged variants
+                pages = out["markdown"].map(mdhtml.markdown_to_html_page)
+                if "html" in formats:
+                    out["html"] = pages
+                if "html_gpu" in formats:
+                    # R6: the GPU processor's badged page
+                    # (gpu_processor.py:60-78)
+                    out["html_gpu"] = pages.map(mdhtml.add_gpu_badge)
             if "csv" in formats:
                 out["csv"] = out["markdown"].map(mdcsv.markdown_to_csv)
             return out
