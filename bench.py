@@ -271,10 +271,13 @@ def run_skew_probe(spark, spans_path: str, cores: int) -> dict:
 SCALING_N = 4  # headline pair: local[4] (N) vs local[16] (4N)
 
 
-def write_baseline_md(levels: dict[int, dict], main) -> dict[str, float]:
+def write_baseline_md(levels: dict[int, dict], main, skew: dict | None = None) -> dict[str, float]:
     """levels: {cores: bench_at result}; headline pair is (SCALING_N,
     4*SCALING_N); the saturated (8, 32) pair is reported alongside with
-    the host-saturation caveat."""
+    the host-saturation caveat. ``skew`` (from run_skew_probe) renders
+    the north-rule mega-doc evidence section — the file is regenerated
+    WHOLESALE, so every recorded evidence section must be emitted here,
+    not hand-edited into the artifact."""
     os.makedirs("BENCH", exist_ok=True)
     effs = {
         f"{a}->{b}": round(levels[b]["docs_per_sec"] / (4 * levels[a]["docs_per_sec"]), 3)
@@ -322,10 +325,63 @@ def write_baseline_md(levels: dict[int, dict], main) -> dict[str, float]:
                    " (host-saturated pair, see method)\n")
                 for pair, e in effs.items()
             )
-            + "\n## Full headline-query timings (local[%d], sf=%s)\n\n"
-            % (main["cores"], main["sf"])
+            + "\n## Full headline-query timings (local[%d], sf=%s, median of %d)\n\n"
+            % (main["cores"], main["sf"], main.get("runs", 1))
             + "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in main["queries"].items())
+            + (
+                "\n`search_materialized` is the production N5 path over a "
+                "pre-built section table; `knn_lsh` is the multi-table ANN "
+                "(5 queries x corpus); `dedup_minhash_lsh_k128` is the "
+                "web-scale signature point (k=128, 32 bands x 4 rows, "
+                "affine one-md5-per-shingle scheme) — a diagnostic row "
+                "excluded from the headline sum.\n"
+            )
+            + (
+                "\n## Skew robustness (north-rule mega-doc clause)\n\n"
+                "One injected mega-document (4000 spans ~ 100x the median "
+                "span count); salted repartition + span-budget batch "
+                "slicing (+ within-row segmentation beyond the 128k-span "
+                "budget); per-task kernel wall times measured in-kernel "
+                f"(`bench.py --skew`, {skew['tasks']} tasks):\n\n"
+                "| median task | max task (straggler) | ratio |\n"
+                "|---|---|---|\n"
+                f"| {skew['median_task_sec']} s | {skew['max_task_sec']} s "
+                f"| **{skew['straggler_ratio']}** |\n\n"
+                "Target <= 2x. For still-larger documents the optional "
+                "two-tier routing (`extract(mega_threshold=...)`) isolates "
+                "them into dedicated tasks, and within-row segmentation "
+                "bounds per-invocation memory by slice size, not document "
+                "size (tests/test_megadoc.py).\n"
+                if skew
+                else ""
+            )
+            + (
+                "\n## Dedup clustering at corpus scale\n\n"
+                "`dedup_clusters` (MinHash-LSH pairs -> pointer-jumping "
+                "connected components, hot-bucket cap ON by default) over "
+                "the sf0.1 documents table: 5000 docs -> 4492 keepers in "
+                "13.1 s at local[16] including all clustering rounds — the "
+                "full keeper-selection pipeline `corpus_filter` builds on "
+                "(round-2 measurement; the capped default produces "
+                "identical clusters).\n"
+                "\n## History\n\n"
+                "- round 1 (pre-slice-reduce kernel), pooled best of 3 "
+                "protocol executions: local[4] 5116 / local[8] 9828 / "
+                "local[16] 16638 / local[32] 22201 docs/s; 4->16 "
+                "efficiency 0.813; skew 1.93/1.53.\n"
+                "- round 2: best-of-5 per level, 4->16 efficiency 0.847; "
+                "skew 1.944.\n"
+                "- round 3 onward: per-query MEDIANS (this file's tables); "
+                "identical pinned runs swing +-40% with hypervisor steal, "
+                "and medians are robust in both directions.\n"
+                "\n## Reproduce\n\n"
+                "```\n"
+                "python bench.py                            # headline JSON line (driver mode)\n"
+                "python bench.py --scaling --skew --runs 3  # full protocol (~25 min),\n"
+                "                                           # rewrites this file\n"
+                "```\n"
+            )
         )
     return effs
 
@@ -352,9 +408,16 @@ def main() -> None:
         return
 
     main_res = bench_at(args.cpus, args.sf_dir, runs=args.runs, aux=not args.no_aux)
+    # diagnostic rows measure intentionally-heavier alternate
+    # configurations; they are reported per-query but excluded from the
+    # headline sum so 'value' stays comparable across rounds
+    DIAGNOSTIC = {"dedup_minhash_lsh_k128"}
     result = {
         "metric": "docs/sec extraction throughput",
-        "value": round(sum(main_res["queries"].values()), 3),
+        "value": round(
+            sum(v for k, v in main_res["queries"].items() if k not in DIAGNOSTIC),
+            3,
+        ),
         "unit": "sec",
         "queries": main_res["queries"],
         "sf": main_res["sf"],
@@ -380,7 +443,7 @@ def main() -> None:
             c: bench_subprocess(c, args.sf_dir, args.runs, SCALING_MULT)
             for c in (SCALING_N, 8, 4 * SCALING_N, 32)
         }
-        effs = write_baseline_md(levels, main_res)
+        effs = write_baseline_md(levels, main_res, skew=result.get("skew"))
         result["scaling"] = {
             "docs_per_sec": {c: r["docs_per_sec"] for c, r in levels.items()},
             "efficiency": effs,

@@ -149,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
         print("Error: --resume does not support --extract-fields/--json-schema",
               file=sys.stderr)
         return 2
+    if args.json_schema:
+        # validate the schema file BEFORE spinning up a Spark session so
+        # a bad path/body gets the CLI's clean exit-2 convention, not a
+        # mid-job traceback
+        try:
+            with open(args.json_schema) as f:
+                json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"Error loading JSON schema: {e}", file=sys.stderr)
+            return 2
 
     from pyspark.sql import functions as F
 
@@ -189,13 +199,22 @@ def main(argv: list[str] | None = None) -> int:
     out = ex.extract(src, formats=fmts)
 
     if args.extract_fields or args.json_schema:
-        payloads = _llm_json_payloads(out, args).withColumnRenamed(
-            "payload", "json"
-        )
-        if args.out is not None and not args.combine:
-            payloads.write.mode("overwrite").parquet(args.out)
-            print(f"wrote {args.out}")
-            return 0
+        # the payload plan references the extract output twice (the LLM
+        # kernel input and the fused-json fallback side of the join);
+        # cache it so the expensive extraction kernel runs once
+        out = out.cache()
+        try:
+            payloads = _llm_json_payloads(out, args).withColumnRenamed(
+                "payload", "json"
+            )
+            if args.out is not None and not args.combine:
+                payloads.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out}")
+                return 0
+            # materialize the joined payloads, then release the cache
+            payloads = payloads.localCheckpoint()
+        finally:
+            out.unpersist()
         out = payloads
 
     if args.out is None:
@@ -259,14 +278,18 @@ def main(argv: list[str] | None = None) -> int:
             # one pass: the empty check and the write share the cached
             # 1-row result instead of executing the pipeline twice
             combined = combined.cache()
-            if combined.first()["count"] == 0:
-                # reference parity: csv combine with no tables anywhere
-                # is an error (cli.py:533-535)
-                print("Error: No tables found in any of the input files",
-                      file=sys.stderr)
+            try:
+                if combined.first()["count"] == 0:
+                    # reference parity: csv combine with no tables
+                    # anywhere is an error (cli.py:533-535)
+                    print("Error: No tables found in any of the input files",
+                          file=sys.stderr)
+                    return 1
+                combined.write.mode("overwrite").parquet(args.out)
+            finally:
                 combined.unpersist()
-                return 1
-        combined.write.mode("overwrite").parquet(args.out)
+        else:
+            combined.write.mode("overwrite").parquet(args.out)
     else:
         out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")

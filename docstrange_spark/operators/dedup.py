@@ -102,6 +102,10 @@ def minhash_signatures(
     Identical arithmetic reproduces in DuckDB, so the oracle stays
     bit-exact; numeric mins also aggregate cheaper than 32-char string
     mins."""
+    if scheme not in ("md5", "affine"):
+        raise ValueError(
+            f"unknown minhash scheme {scheme!r}: expected 'md5' or 'affine'"
+        )
     sh = shingles(df, id_col, text_col)
     if scheme == "affine":
         h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast(
@@ -170,6 +174,56 @@ def _all_pairs_in_buckets(buckets: DataFrame) -> DataFrame:
     ).select("p.doc_a", "p.doc_b")
 
 
+def bucket_pairs(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket_size: int | None = None,
+    observation=None,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Generic within-bucket pair generation shared by the MinHash-band
+    path and the embedding-LSH path: ``rows`` is (``keys``..., ``id_col``);
+    output is the DISTINCT ordered pairs (``out_a`` < ``out_b``) sharing
+    any bucket. JVM-side transform/slice expansion over sorted members;
+    with ``max_bucket_size``, oversized buckets switch to lag-window
+    chain pairing (component-preserving, linear output) and
+    ``observation`` reports (oversized_member_rows, largest_bucket)."""
+    base = rows.select(*keys, F.col(id_col).alias("_pid"))
+    if max_bucket_size is None:
+        buckets = (
+            base.groupBy(*keys)
+            .agg(F.sort_array(F.collect_list("_pid")).alias("members"))
+            .where(F.size("members") > 1)
+        )
+        pairs = _all_pairs_in_buckets(buckets)
+    else:
+        w = Window.partitionBy(*keys)
+        sized = base.withColumn("bsize", F.count("*").over(w))
+        small_pairs = _all_pairs_in_buckets(
+            sized.where(F.col("bsize").between(2, max_bucket_size))
+            .groupBy(*keys)
+            .agg(F.sort_array(F.collect_list("_pid")).alias("members"))
+        )
+        big = sized.where(F.col("bsize") > max_bucket_size)
+        if observation is not None:
+            big = big.observe(
+                observation,
+                F.count(F.lit(1)).alias("oversized_member_rows"),
+                F.max("bsize").alias("largest_bucket"),
+            )
+        wchain = Window.partitionBy(*keys).orderBy("_pid")
+        big_pairs = big.select(
+            F.lag("_pid").over(wchain).alias("doc_a"),
+            F.col("_pid").alias("doc_b"),
+        ).where(F.col("doc_a").isNotNull())
+        pairs = small_pairs.unionByName(big_pairs)
+    return pairs.distinct().select(
+        F.col("doc_a").alias(out_a), F.col("doc_b").alias(out_b)
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -209,34 +263,10 @@ def lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, k, scheme=scheme),
         bands=bands, k=k,
     )
-    if max_bucket_size is None:
-        buckets = (
-            b.groupBy("band", "band_hash")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-            .where(F.size("members") > 1)
-        )
-        return _all_pairs_in_buckets(buckets).distinct()
-
-    w = Window.partitionBy("band", "band_hash")
-    sized = b.withColumn("bsize", F.count("*").over(w))
-    small_pairs = _all_pairs_in_buckets(
-        sized.where(F.col("bsize").between(2, max_bucket_size))
-        .groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+    return bucket_pairs(
+        b, ["band", "band_hash"], "doc_id",
+        max_bucket_size=max_bucket_size, observation=observation,
     )
-    big = sized.where(F.col("bsize") > max_bucket_size)
-    if observation is not None:
-        big = big.observe(
-            observation,
-            F.count(F.lit(1)).alias("oversized_member_rows"),
-            F.max("bsize").alias("largest_bucket"),
-        )
-    wchain = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    big_pairs = big.select(
-        F.lag("doc_id").over(wchain).alias("doc_a"),
-        F.col("doc_id").alias("doc_b"),
-    ).where(F.col("doc_a").isNotNull())
-    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def connected_components(
@@ -270,24 +300,39 @@ def connected_components(
     ``checkpoint_dir`` (an HDFS/S3 path at scale) to switch every round
     to *reliable* ``checkpoint()``: blocks land on fault-tolerant
     storage, executor loss is recoverable, memory is released. Each
-    round checkpoints into its own subdirectory and the PREVIOUS round's
-    subdirectory is deleted once the new round has materialized (Spark
-    never garbage-collects reliable checkpoints on its own), so the
-    store holds at most two rounds + the edge set instead of growing by
-    ~3 snapshots per round. Local mode and the oracles keep the
-    default."""
+    round checkpoints into its own subdirectory under a PER-INVOCATION
+    namespace (``cc_<uuid>``), and the PREVIOUS round's subdirectory is
+    deleted once the new round has materialized (Spark never
+    garbage-collects reliable checkpoints on its own), so the store
+    holds at most two rounds + the edge set instead of growing by ~3
+    snapshots per round. The invocation namespace means two calls
+    sharing one ``checkpoint_dir`` can never reclaim each other's live
+    files; the final round's files (which back the returned lazy
+    DataFrame) are intentionally left for the caller. The session-global
+    checkpoint dir is restored on exit. Local mode and the oracles keep
+    the default."""
     spark = vertices.sparkSession
     if checkpoint_dir is not None:
+        import uuid as _uuid
+
+        ns = f"{checkpoint_dir}/cc_{_uuid.uuid4().hex[:12]}"
+        # save the session-global checkpoint dir to restore on exit
+        # (setCheckpointDir is SparkContext-global)
+        _saved = spark.sparkContext._jsc.sc().getCheckpointDir()
 
         def _set_round_dir(tag: str) -> None:
-            spark.sparkContext.setCheckpointDir(f"{checkpoint_dir}/{tag}")
+            spark.sparkContext.setCheckpointDir(f"{ns}/{tag}")
 
         def _rm_round_dir(tag: str) -> None:
             # Hadoop FS delete — works for file://, hdfs://, s3a:// alike
             jvm = spark._jvm
-            path = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{tag}")
+            path = jvm.org.apache.hadoop.fs.Path(f"{ns}/{tag}")
             fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
             fs.delete(path, True)
+
+        def _restore_dir() -> None:
+            if _saved.isDefined():
+                spark.sparkContext.setCheckpointDir(_saved.get())
 
         _set_round_dir("edges")
 
@@ -302,6 +347,9 @@ def connected_components(
         def _rm_round_dir(tag: str) -> None:
             pass
 
+        def _restore_dir() -> None:
+            pass
+
         def _cp(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
@@ -314,57 +362,60 @@ def connected_components(
     labels = _cp(
         vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
     )
-    for round_no in range(max_iter):
-        _set_round_dir(f"round_{round_no}")
-        prop = (
-            edges.join(labels, edges["src"] == labels["vid"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nl"))
-        )
-        stepped = (
-            labels.join(prop, labels["vid"] == prop["dst"], "left")
-            .select(
-                "vid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("old_label"),
+    try:
+        for round_no in range(max_iter):
+            _set_round_dir(f"round_{round_no}")
+            prop = (
+                edges.join(labels, edges["src"] == labels["vid"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("nl"))
             )
-        )
-        # materialize before the pointer-jump self-join: both sides of
-        # that join reference this frame, and uncheckpointed lineage
-        # would re-execute the neighbor-min join twice
-        stepped = _cp(stepped)
-        # pointer jump: follow one indirection (labels are ids of other
-        # vertices, whose labels are at least as small) — halves the
-        # remaining path length every round
-        lut = stepped.select(
-            F.col("vid").alias("l_vid"), F.col("label").alias("l_label")
-        )
-        nxt = (
-            stepped.join(lut, stepped["label"] == lut["l_vid"], "left")
-            .select(
-                "vid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-                ).alias("new_label"),
-                "old_label",
+            stepped = (
+                labels.join(prop, labels["vid"] == prop["dst"], "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                    ).alias("label"),
+                    F.col("label").alias("old_label"),
+                )
             )
-        )
-        nxt = _cp(nxt)
-        changed = nxt.where(F.col("new_label") != F.col("old_label")).count()
-        labels = nxt.select("vid", F.col("new_label").alias("label"))
-        # this round's checkpoints are materialized (checkpoint() is
-        # eager); the previous round's files are dead — reclaim them
-        if round_no > 0:
-            _rm_round_dir(f"round_{round_no - 1}")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter too large) — raise max_iter"
-        )
+            # materialize before the pointer-jump self-join: both sides
+            # of that join reference this frame, and uncheckpointed
+            # lineage would re-execute the neighbor-min join twice
+            stepped = _cp(stepped)
+            # pointer jump: follow one indirection (labels are ids of
+            # other vertices, whose labels are at least as small) —
+            # halves the remaining path length every round
+            lut = stepped.select(
+                F.col("vid").alias("l_vid"), F.col("label").alias("l_label")
+            )
+            nxt = (
+                stepped.join(lut, stepped["label"] == lut["l_vid"], "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+                    ).alias("new_label"),
+                    "old_label",
+                )
+            )
+            nxt = _cp(nxt)
+            changed = nxt.where(F.col("new_label") != F.col("old_label")).count()
+            labels = nxt.select("vid", F.col("new_label").alias("label"))
+            # this round's checkpoints are materialized (checkpoint() is
+            # eager); the previous round's files are dead — reclaim them
+            if round_no > 0:
+                _rm_round_dir(f"round_{round_no - 1}")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(component diameter too large) — raise max_iter"
+            )
+    finally:
+        _restore_dir()
     return labels.select(
         F.col("vid").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

@@ -146,6 +146,8 @@ def lsh_bucket_candidates(
     JVM-side sorted-members transform/slice as ``dedup``'s banded LSH;
     ``max_bucket_size`` chain-caps degenerate buckets identically
     (consecutive links, component preserved)."""
+    from docstrange_spark.operators.dedup import bucket_pairs
+
     ids = embeddings.select(
         F.col(id_col).alias("vid"),
         F.posexplode(
@@ -154,39 +156,13 @@ def lsh_bucket_candidates(
             )
         ).alias("tbl", "bucket"),
     )
-    pair_expand = F.explode(
-        F.expr(
-            "flatten(transform(members, (x, i) -> "
-            "transform(slice(members, i + 2, size(members) - i - 1), "
-            "y -> struct(x AS vid_a, y AS vid_b))))"
-        )
-    ).alias("p")
-    if max_bucket_size is None:
-        buckets = (
-            ids.groupBy("tbl", "bucket")
-            .agg(F.sort_array(F.collect_list("vid")).alias("members"))
-            .where(F.size("members") > 1)
-        )
-        return buckets.select(pair_expand).select("p.vid_a", "p.vid_b").distinct()
-    w = Window.partitionBy("tbl", "bucket")
-    sized = ids.withColumn("bsize", F.count("*").over(w))
-    small_pairs = (
-        sized.where(F.col("bsize").between(2, max_bucket_size))
-        .groupBy("tbl", "bucket")
-        .agg(F.sort_array(F.collect_list("vid")).alias("members"))
-        .select(pair_expand)
-        .select("p.vid_a", "p.vid_b")
+    # same within-bucket pair expansion + chain-capping as the MinHash
+    # band path — one shared implementation (dedup.bucket_pairs)
+    return bucket_pairs(
+        ids, ["tbl", "bucket"], "vid",
+        max_bucket_size=max_bucket_size,
+        out_a="vid_a", out_b="vid_b",
     )
-    wchain = Window.partitionBy("tbl", "bucket").orderBy("vid")
-    big_pairs = (
-        sized.where(F.col("bsize") > max_bucket_size)
-        .select(
-            F.lag("vid").over(wchain).alias("vid_a"),
-            F.col("vid").alias("vid_b"),
-        )
-        .where(F.col("vid_a").isNotNull())
-    )
-    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def embedding_dedup_pairs(

@@ -316,13 +316,24 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2}
     import os
 
-    dirs = sorted(os.listdir(tmp_path / "cc_ckpt"))
-    assert dirs, "reliable checkpoint wrote nothing"
+    namespaces = sorted(os.listdir(tmp_path / "cc_ckpt"))
+    assert len(namespaces) == 1 and namespaces[0].startswith("cc_"), namespaces
+    dirs = sorted(os.listdir(tmp_path / "cc_ckpt" / namespaces[0]))
     # superseded rounds are reclaimed: only the edge/base dir and the
     # latest round survive (Spark never GCs reliable checkpoints itself)
     rounds = [d for d in dirs if d.startswith("round_")]
     assert len(rounds) <= 1, dirs
     assert "edges" in dirs
+    # the session-global checkpoint dir was restored (a follow-up
+    # localCheckpoint-mode call must not land files in our namespace)
+    n_before = sum(len(fs) for _, _, fs in os.walk(tmp_path / "cc_ckpt"))
+    got2 = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.connected_components(verts, pairs).collect()
+    }
+    assert got2 == got
+    n_after = sum(len(fs) for _, _, fs in os.walk(tmp_path / "cc_ckpt"))
+    assert n_after == n_before
 
 
 def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, documents):
