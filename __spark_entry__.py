@@ -271,6 +271,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
         )
 
+    def q_dedup_clusters_verified(spark, sf_dir):
+        # the full production dedup shape: LSH candidates -> exact
+        # Jaccard re-rank -> threshold -> connected components
+        return dedup.verified_clusters(
+            _docs(spark, sf_dir), jaccard_threshold=0.5
+        ).select(
+            "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
+        )
+
     def q_search_materialized(spark, sf_dir):
         # the production N5 path: search over the section table, no join
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
@@ -475,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_sample": q_jaccard_sample,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_verified": q_dedup_clusters_verified,
         "search_materialized": q_search_materialized,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1528,6 +1538,48 @@ prs AS (
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM prs
   UNION ALL SELECT doc_b, doc_a FROM prs
+),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY n"""
+    )
+    # verified clustering: LSH pairs -> exact Jaccard >= 0.5 -> closure
+    out["dedup_clusters_verified"] = (
+        "WITH RECURSIVE "
+        + _SIG_CTE[len("WITH ") :]
+        + ",\nbands AS ("
+        + _BANDS_SQL
+        + """),
+prs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM prs p
+  JOIN dsh x ON x.doc_id = p.doc_a
+  JOIN dsh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM prs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE round(coalesce(i.n_inter, 0) * 1.0 /
+              (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
 ),
 reach(n, l) AS (
   SELECT doc_id, doc_id FROM documents

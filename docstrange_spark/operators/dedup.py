@@ -461,23 +461,67 @@ def dedup_clusters(
     )
 
 
+def verified_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    scheme: str = "md5",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Verified near-dup clustering — the full production dedup shape:
+    LSH candidate pairs → EXACT n-gram Jaccard re-rank → keep only pairs
+    at/above ``jaccard_threshold`` → connected components. Where
+    ``dedup_clusters`` clusters raw banding candidates (recall-oriented:
+    any band collision links two docs), this verifies every edge before
+    transitive closure, so an unlucky band collision between unrelated
+    documents can never glue two clusters together. Returns
+    (doc_id, cluster_rep) for every document.
+
+    Scale notes: the pair list here feeds the Jaccard re-rank, whose
+    semantics are per-edge — chain-capping would VERIFY different edges
+    than all-pairs and can split a true cluster on one low-similarity
+    chain link, so candidate generation runs uncapped and the semi-join
+    inside the re-rank is shuffle-based (``broadcast_relevant=False``:
+    a corpus-scale candidate list must not be broadcast)."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands, scheme=scheme)
+    scored = jaccard_pairs(df, pairs, id_col, text_col, broadcast_relevant=False)
+    verified = scored.where(F.col("jaccard") >= jaccard_threshold).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(
+        df.select(id_col), verified, id_col, checkpoint_dir=checkpoint_dir
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    broadcast_relevant: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (doc_a, doc_b) pairs: distinct
-    shingle sets joined through the pair list; broadcast the pair list
-    when small."""
-    # shingle only the documents the pair list touches (broadcast
-    # semi-join) — the shingle subtree is referenced three times below
-    # and Spark re-executes uncached lineage per reference
+    shingle sets joined through the pair list.
+
+    ``broadcast_relevant=True`` broadcasts the distinct-touched-doc-id
+    list into the semi-join — right when the pair list is small (a
+    sampler, a re-rank of a modest candidate set). Set ``False`` when
+    the candidate list itself is corpus-scale (a full web-dedup pass):
+    the semi-join then shuffles both sides on doc_id instead of
+    materializing the id set on every executor."""
+    # shingle only the documents the pair list touches (semi-join) —
+    # the shingle subtree is referenced three times below and Spark
+    # re-executes uncached lineage per reference
     relevant = (
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
     )
-    df = df.join(F.broadcast(relevant), id_col, "semi")
+    if broadcast_relevant:
+        relevant = F.broadcast(relevant)
+    df = df.join(relevant, id_col, "semi")
     sh = shingles(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -408,3 +408,34 @@ def test_k128_banding_recall_at_threshold(spark):
     # among them (band hashes differ with overwhelming margin)
     spurious = [p for p in pairs if p[0] >= 5000 and p[1] >= 5000]
     assert not spurious, spurious[:5]
+
+
+def test_verified_clusters_refine_raw_clusters(spark, documents):
+    """verified_clusters drops candidate edges below the Jaccard
+    threshold before closure, so every verified cluster must sit inside
+    one raw (unverified) cluster — verification can only split, never
+    merge; exact duplicates still co-cluster."""
+    from pyspark.sql import functions as F
+
+    dup = documents.limit(3).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    corpus = documents.select("doc_id", "text").unionByName(dup)
+
+    raw = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.dedup_clusters(corpus, max_bucket_size=None).collect()
+    }
+    ver = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.verified_clusters(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert set(ver) == set(raw)
+    # refinement: same verified rep -> same raw rep
+    by_vcluster = {}
+    for doc, rep in ver.items():
+        by_vcluster.setdefault(rep, set()).add(raw[doc])
+    assert all(len(raws) == 1 for raws in by_vcluster.values())
+    # exact duplicates (jaccard 1.0) survive verification
+    for r in documents.limit(3).collect():
+        assert ver[r["doc_id"]] == ver[r["doc_id"] + 100_000]
