@@ -340,6 +340,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_lang_eval(spark, sf_dir):
+        # quality evaluation of the n-gram language-ID against the
+        # corpus's ground-truth lang column: a confusion matrix
+        # (truth, guess, n) — the accuracy readout a curation pipeline
+        # monitors. One broadcast-joinable guess frame, one groupBy.
+        docs = _docs(spark, sf_dir)
+        guesses = text_analysis.lang_id(docs).select("doc_id", "lang_guess")
+        return (
+            docs.select("doc_id", "lang")
+            .join(guesses, "doc_id")
+            .groupBy("lang", "lang_guess")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def q_events_props(spark, sf_dir):
+        # JSON-function coverage over the events props payload:
+        # get_json_object extraction + typed aggregation per event_type
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return ev.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+
     # -- similarity -------------------------------------------------------
     def q_knn_bruteforce(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -353,6 +378,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return similarity.knn_ivf(
             emb, [0, 1, 2, 3, 4], top_k=10, n_cells=16, nprobe=4
+        )
+
+    def q_knn_label_purity(spark, sf_dir):
+        # ANN quality readout against the ground-truth label column:
+        # fraction of each query's exact top-10 neighbors sharing its
+        # label (the classic recall/purity benchmark metric)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        knn = similarity.knn_bruteforce(emb, [0, 1, 2, 3, 4], top_k=10)
+        lbl = emb.select("vec_id", "label")
+        ql = lbl.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+        )
+        nl = lbl.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+        )
+        return (
+            knn.join(F.broadcast(ql), "query_id")
+            .join(F.broadcast(nl), "neighbor_id")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").cast("long").alias("n_neighbors"),
+                F.sum((F.col("q_label") == F.col("n_label")).cast("int"))
+                .cast("long")
+                .alias("n_same_label"),
+            )
+            .withColumn(
+                "purity",
+                F.round(F.col("n_same_label") / F.col("n_neighbors"), 6),
+            )
         )
 
     def q_embedding_dups(spark, sf_dir):
@@ -493,7 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
         "lang_stats": q_lang_stats,
+        "lang_eval": q_lang_eval,
+        "events_props": q_events_props,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_purity": q_knn_label_purity,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_dups": q_embedding_dups,
@@ -1546,6 +1603,32 @@ reach(n, l) AS (
 )
 SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY n"""
+    )
+    # evaluation queries over the ground-truth columns
+    out["lang_eval"] = (
+        "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"
+        "FROM documents d JOIN (" + out["lang_id"] + ") g USING (doc_id)\n"
+        "GROUP BY 1, 2"
+    )
+    out["events_props"] = r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type"""
+    out["knn_label_purity"] = (
+        "WITH knn AS (" + out["knn_bruteforce"] + """)
+SELECT knn.query_id,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       round(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS purity
+FROM knn
+JOIN embeddings ql ON ql.vec_id = knn.query_id
+JOIN embeddings nl ON nl.vec_id = knn.neighbor_id
+GROUP BY knn.query_id"""
     )
     # verified clustering: LSH pairs -> exact Jaccard >= 0.5 -> closure
     out["dedup_clusters_verified"] = (
