@@ -937,6 +937,55 @@ def _bands_sql(k: int, bands: int, scheme: str = "md5") -> str:
 _SIG_CTE = _sig_cte(8)
 _BANDS_SQL = _bands_sql(8, 4)
 
+# shared SQL building blocks — single source for every oracle that does
+# banded candidate pairs, exact Jaccard, or min-label transitive closure
+_LSH_PRS_CTE = """prs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)"""
+
+_JACCARD_DSH_SIZES = """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id)"""
+
+_JACCARD_INTER = """inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM prs p
+  JOIN dsh x ON x.doc_id = p.doc_a
+  JOIN dsh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+  GROUP BY p.doc_a, p.doc_b
+)"""
+
+
+def _closure_sql(edge_src: str) -> str:
+    """Min-label transitive closure over a (doc_a, doc_b) CTE: the
+    recursive-reach reconstruction of connected components."""
+    return f""",
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM {edge_src}
+  UNION ALL SELECT doc_b, doc_a FROM {edge_src}
+),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY n"""
+
+
+def _clusters_oracle(k: int, bands: int, scheme: str = "md5") -> str:
+    """dedup_clusters oracle for any (k, bands, scheme) configuration."""
+    return (
+        "WITH RECURSIVE "
+        + _sig_cte(k, scheme)[len("WITH ") :]
+        + ",\nbands AS ("
+        + _bands_sql(k, bands, scheme)
+        + "),\n"
+        + _LSH_PRS_CTE
+        + _closure_sql("prs")
+    )
+
 _HEXV = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
 _SIMHASH_VAL = (
     f"{_HEXV.format(p=1)} * 4096 + {_HEXV.format(p=2)} * 256 + "
@@ -1182,22 +1231,18 @@ FROM bands l JOIN bands r
         ),
         "jaccard_sample": (
             SHINGLE_CTE
+            + ",\n"
+            + _JACCARD_DSH_SIZES
             + r""",
-dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
 prs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
   WHERE a.doc_id % 97 = 0
   ORDER BY doc_a LIMIT 1000
 ),
-inter AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-  FROM prs p
-  JOIN dsh x ON x.doc_id = p.doc_a
-  JOIN dsh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-  GROUP BY p.doc_a, p.doc_b
-)
+"""
+            + _JACCARD_INTER
+            + r"""
 SELECT p.doc_a, p.doc_b,
        round(coalesce(i.n_inter, 0) * 1.0 /
              (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
@@ -1556,54 +1601,10 @@ SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"""
     )
-    out["dedup_clusters_k128"] = (
-        "WITH RECURSIVE "
-        + _sig_cte(128, "affine")[len("WITH ") :]
-        + ",\nbands AS ("
-        + _bands_sql(128, 32, "affine")
-        + """),
-prs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-),
-edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM prs
-  UNION ALL SELECT doc_b, doc_a FROM prs
-),
-reach(n, l) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
-)
-SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
-FROM reach GROUP BY n"""
-    )
+    out["dedup_clusters_k128"] = _clusters_oracle(128, 32, "affine")
     # dedup clustering: min-label transitive closure over the banded
     # candidate pairs (recursive CTE; singletons are their own rep)
-    out["dedup_clusters"] = (
-        "WITH RECURSIVE "
-        + _SIG_CTE[len("WITH ") :]
-        + ",\nbands AS ("
-        + _BANDS_SQL
-        + """),
-prs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-),
-edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM prs
-  UNION ALL SELECT doc_b, doc_a FROM prs
-),
-reach(n, l) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
-)
-SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
-FROM reach GROUP BY n"""
-    )
+    out["dedup_clusters"] = _clusters_oracle(8, 4)
     # evaluation queries over the ground-truth columns
     out["lang_eval"] = (
         "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"
@@ -1636,21 +1637,13 @@ GROUP BY knn.query_id"""
         + _SIG_CTE[len("WITH ") :]
         + ",\nbands AS ("
         + _BANDS_SQL
-        + """),
-prs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-),
-dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-  FROM prs p
-  JOIN dsh x ON x.doc_id = p.doc_a
-  JOIN dsh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-  GROUP BY p.doc_a, p.doc_b
-),
+        + "),\n"
+        + _LSH_PRS_CTE
+        + ",\n"
+        + _JACCARD_DSH_SIZES
+        + ",\n"
+        + _JACCARD_INTER
+        + """,
 verified AS (
   SELECT p.doc_a, p.doc_b
   FROM prs p
@@ -1659,18 +1652,8 @@ verified AS (
   LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
   WHERE round(coalesce(i.n_inter, 0) * 1.0 /
               (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5
-),
-edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM verified
-  UNION ALL SELECT doc_b, doc_a FROM verified
-),
-reach(n, l) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
-)
-SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
-FROM reach GROUP BY n"""
+)"""
+        + _closure_sql("verified")
     )
     out["corpus_filter"] = (
         "SELECT d.doc_id, l.lang_guess, q.quality\n"

@@ -469,6 +469,8 @@ def verified_clusters(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     scheme: str = "md5",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Verified near-dup clustering — the full production dedup shape:
@@ -480,17 +482,34 @@ def verified_clusters(
     documents can never glue two clusters together. Returns
     (doc_id, cluster_rep) for every document.
 
-    Scale notes: the pair list here feeds the Jaccard re-rank, whose
-    semantics are per-edge — chain-capping would VERIFY different edges
-    than all-pairs and can split a true cluster on one low-similarity
-    chain link, so candidate generation runs uncapped and the semi-join
-    inside the re-rank is shuffle-based (``broadcast_relevant=False``:
-    a corpus-scale candidate list must not be broadcast)."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands, scheme=scheme)
+    Scale notes:
+
+    - the hot-bucket cap defaults ON (quadratic bucket expansion is
+      never acceptable at corpus scale). Caveat, unlike
+      ``dedup_clusters``: verification is per-edge, so with the cap
+      ENGAGED a chain link that fails verification can split a
+      component that an all-pairs edge would have kept connected. For
+      the truly degenerate buckets the cap exists for — (near-)identical
+      boilerplate — chain links verify at Jaccard ≈ 1.0 and the
+      component is preserved; pass ``max_bucket_size=None`` only when
+      exact all-pairs semantics matter more than bounded work.
+    - the candidate and verified pair lists are ``localCheckpoint``-ed:
+      the Jaccard re-rank references the pair subtree several times and
+      connected components references the verified edges twice, and
+      uncheckpointed lineage would replan the minhash+banding subtree
+      per reference.
+    - the re-rank's semi-join is shuffle-based
+      (``broadcast_relevant=False``): a corpus-scale candidate list must
+      not be broadcast."""
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col,
+        max_bucket_size=max_bucket_size, observation=observation,
+        k=k, bands=bands, scheme=scheme,
+    ).localCheckpoint()
     scored = jaccard_pairs(df, pairs, id_col, text_col, broadcast_relevant=False)
     verified = scored.where(F.col("jaccard") >= jaccard_threshold).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint()
     return connected_components(
         df.select(id_col), verified, id_col, checkpoint_dir=checkpoint_dir
     )

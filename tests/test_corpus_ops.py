@@ -347,9 +347,8 @@ def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, doc
     from pyspark.sql import functions as F
 
     # exact-dup guarantee: duplicate 5 real docs under new ids
-    dup = documents.limit(5).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
-    )
+    picked = documents.orderBy("doc_id").limit(5)
+    dup = picked.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
     corpus = documents.select("doc_id", "text").unionByName(dup)
     pairs = {
         (r["doc_a"], r["doc_b"])
@@ -357,7 +356,7 @@ def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, doc
             corpus, k=32, bands=8, scheme="affine"
         ).collect()
     }
-    originals = [r["doc_id"] for r in documents.limit(5).collect()]
+    originals = [r["doc_id"] for r in picked.select("doc_id").collect()]
     for o in originals:
         assert (o, o + 100_000) in pairs
 
@@ -417,9 +416,11 @@ def test_verified_clusters_refine_raw_clusters(spark, documents):
     merge; exact duplicates still co-cluster."""
     from pyspark.sql import functions as F
 
-    dup = documents.limit(3).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
-    )
+    # pin the duplicated rows deterministically (limit() without orderBy
+    # may return different rows per action)
+    picked = documents.orderBy("doc_id").limit(3)
+    picked_ids = [r["doc_id"] for r in picked.select("doc_id").collect()]
+    dup = picked.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
     corpus = documents.select("doc_id", "text").unionByName(dup)
 
     raw = {
@@ -437,5 +438,5 @@ def test_verified_clusters_refine_raw_clusters(spark, documents):
         by_vcluster.setdefault(rep, set()).add(raw[doc])
     assert all(len(raws) == 1 for raws in by_vcluster.values())
     # exact duplicates (jaccard 1.0) survive verification
-    for r in documents.limit(3).collect():
-        assert ver[r["doc_id"]] == ver[r["doc_id"] + 100_000]
+    for did in picked_ids:
+        assert ver[did] == ver[did + 100_000]
