@@ -271,6 +271,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
         )
 
+    def q_lsh_pairs_incremental(spark, sf_dir):
+        # the daily-ingest dedup shape: new batch (doc_id % 7 == 0)
+        # probed against the persisted band table of the rest
+        docs = _docs(spark, sf_dir)
+        new = docs.where(F.col("doc_id") % 7 == 0)
+        index = docs.where(F.col("doc_id") % 7 != 0)
+        index_bands = dedup.lsh_bands(dedup.minhash_signatures(index))
+        return dedup.incremental_candidate_pairs(new, index_bands)
+
     def q_dedup_clusters_verified(spark, sf_dir):
         # the full production dedup shape: LSH candidates -> exact
         # Jaccard re-rank -> threshold -> connected components
@@ -539,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_verified": q_dedup_clusters_verified,
+        "lsh_pairs_incremental": q_lsh_pairs_incremental,
         "search_materialized": q_search_materialized,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1605,6 +1615,18 @@ FROM bands l JOIN bands r
     # dedup clustering: min-label transitive closure over the banded
     # candidate pairs (recursive CTE; singletons are their own rep)
     out["dedup_clusters"] = _clusters_oracle(8, 4)
+    # incremental dedup: full banded pairs restricted to those touching
+    # a new-batch (doc_id % 7 == 0) document
+    out["lsh_pairs_incremental"] = (
+        _SIG_CTE
+        + ",\nbands AS ("
+        + _BANDS_SQL
+        + """)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+WHERE l.doc_id % 7 = 0 OR r.doc_id % 7 = 0"""
+    )
     # evaluation queries over the ground-truth columns
     out["lang_eval"] = (
         "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"

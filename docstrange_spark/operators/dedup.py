@@ -21,6 +21,8 @@ LSH_BANDS = 4
 # k=8 pair above stays as the cheap contract/oracle configuration
 WEBSCALE_K = 128
 WEBSCALE_BANDS = 32
+# default hot-bucket cap for the clustering/incremental pipelines
+DEFAULT_MAX_BUCKET = 1024
 
 
 def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -269,6 +271,55 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    scheme: str = "md5",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """Incremental near-dup candidates — the daily-ingest dedup shape:
+    signatures/bands for the NEW batch are computed fresh (map-side) and
+    probed against a PERSISTED band table of the existing corpus
+    (``index_bands``: doc_id, band, band_hash — the output of
+    ``lsh_bands`` materialized once), plus candidate pairs within the
+    new batch itself. Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Scale shape: the index is never recomputed or rescanned beyond an
+    equi-join on (band, band_hash) — at 10^12 indexed documents the
+    band table is bucketed/partitioned by band_hash and the probe joins
+    shuffle only the new batch. ``max_bucket_size`` chain-caps the
+    within-batch expansion exactly like ``lsh_candidate_pairs``; the
+    vs-index join is inherently linear in collisions."""
+    nb = lsh_bands(
+        minhash_signatures(new_docs, id_col, text_col, k, scheme=scheme),
+        bands=bands, k=k,
+    )
+    # the new batch's band table feeds both the index probe and the
+    # within-batch pairing — materialize it once
+    nb = nb.localCheckpoint()
+    idx = index_bands.select(
+        F.col("doc_id").alias("idx_id"), "band", "band_hash"
+    )
+    vs_index = (
+        nb.join(idx, ["band", "band_hash"])
+        .where(F.col("doc_id") != F.col("idx_id"))
+        .select(
+            F.least("doc_id", "idx_id").alias("doc_a"),
+            F.greatest("doc_id", "idx_id").alias("doc_b"),
+        )
+    )
+    among_new = bucket_pairs(
+        nb, ["band", "band_hash"], "doc_id",
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+    return vs_index.unionByName(among_new).distinct()
+
+
 def connected_components(
     vertices: DataFrame,
     pairs: DataFrame,
@@ -419,9 +470,6 @@ def connected_components(
     return labels.select(
         F.col("vid").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
-
-
-DEFAULT_MAX_BUCKET = 1024
 
 
 def dedup_clusters(

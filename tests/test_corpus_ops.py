@@ -440,3 +440,23 @@ def test_verified_clusters_refine_raw_clusters(spark, documents):
     # exact duplicates (jaccard 1.0) survive verification
     for did in picked_ids:
         assert ver[did] == ver[did + 100_000]
+
+
+def test_incremental_pairs_match_full_restriction(documents):
+    """The incremental (new batch vs persisted band index) candidates
+    must equal the full-corpus candidate pairs restricted to pairs
+    touching at least one new document — no pair is lost or invented by
+    splitting the computation."""
+    new = documents.where(F.col("doc_id") % 7 == 0)
+    index = documents.where(F.col("doc_id") % 7 != 0)
+    index_bands = dedup.lsh_bands(dedup.minhash_signatures(index))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.incremental_candidate_pairs(new, index_bands).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(documents).collect()
+    }
+    expected = {p for p in full if p[0] % 7 == 0 or p[1] % 7 == 0}
+    assert got == expected
