@@ -431,6 +431,77 @@ def ivf_train(
     return C
 
 
+def build_lsh_index(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable LSH index for ANN: one row per (vector, table)
+    with the normalized vector, its norm, and its per-table bucket —
+    (vid, vec, nrm, tbl, bucket). Persist this (parquet/Iceberg,
+    bucketed by (tbl, bucket)) once per corpus snapshot; every
+    subsequent ``knn_lsh_probe`` call reads it instead of re-hashing
+    10^12 vectors per query batch — the production ANN-serving shape."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    return base.select(
+        "vid", "vec", "nrm",
+        F.posexplode(_bucket_udf(n_planes, n_tables)(F.col("vec"))).alias(
+            "tbl", "bucket"
+        ),
+    )
+
+
+def knn_lsh_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+) -> DataFrame:
+    """Probe a (persisted) ``build_lsh_index`` table with a query frame
+    of the SAME index layout (vid, vec, nrm, tbl, bucket — typically
+    ``build_lsh_index`` over the query vectors with the same
+    planes/tables): broadcast equi-join on (tbl, bucket), exact cosine
+    re-rank, per-query top-k. Output matches ``knn_bruteforce``."""
+    q = queries.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = index.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vid") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 4
+        ).alias("cosine"),
+    )
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"), "cosine",
+        )
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -449,48 +520,13 @@ def knn_lsh(
     Scale shape: candidates come from a broadcast equi-join on
     (table, bucket) — never a cross product; the per-table collision
     rows carry only scalars into the dedup shuffle (vectors stay on the
-    probe side of the broadcast join).
+    probe side of the broadcast join). For repeated query batches over a
+    stable corpus, materialize ``build_lsh_index`` once and call
+    ``knn_lsh_probe`` instead of this self-contained form.
     """
-    base = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", _norm(F.col("vec")))
-    flat = base.select(
-        "vid", "vec", "nrm",
-        F.posexplode(_bucket_udf(n_planes, n_tables)(F.col("vec"))).alias(
-            "tbl", "bucket"
-        ),
+    flat = build_lsh_index(
+        embeddings, n_planes, n_tables, id_col=id_col, vec_col=vec_col
     )
-    q = flat.where(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-        F.col("tbl").alias("qtbl"),
-        F.col("bucket").alias("qbucket"),
-    )
-    cand = flat.join(
-        F.broadcast(q),
-        (F.col("tbl") == F.col("qtbl"))
-        & (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vid") != F.col("query_id")),
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 4
-        ).alias("cosine"),
-    )
-    # a pair colliding in several tables scores identically each time:
-    # max() is pure dedup, and only scalar rows cross this shuffle
-    dedup = scored.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        dedup.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    return knn_lsh_probe(
+        flat, flat.where(F.col("vid").isin(query_ids)), top_k=top_k
     )

@@ -182,3 +182,24 @@ def test_lsh_bucket_candidates_plan_is_vector_free(spark):
         and not any(ok in ln for ok in ("ArrowEvalPython", "FileScan", "ReadSchema"))
     ]
     assert not offenders, offenders
+
+
+def test_knn_lsh_probe_over_persisted_index(spark, tmp_path):
+    """ANN serving shape: build_lsh_index materialized to parquet once,
+    then probed — results must equal the self-contained knn_lsh."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    idx_path = str(tmp_path / "lsh_index")
+    similarity.build_lsh_index(emb).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    from pyspark.sql import functions as F
+
+    probed = {
+        tuple(r)
+        for r in similarity.knn_lsh_probe(
+            idx, idx.where(F.col("vid").isin([0, 1, 2])), top_k=5
+        ).collect()
+    }
+    direct = {
+        tuple(r) for r in similarity.knn_lsh(emb, [0, 1, 2], top_k=5).collect()
+    }
+    assert probed == direct and probed
