@@ -279,8 +279,10 @@ def incremental_candidate_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     scheme: str = "md5",
-    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int | None = None,
+    max_index_bucket_size: int | None = None,
     observation=None,
+    validate_index: bool = False,
 ) -> DataFrame:
     """Incremental near-dup candidates — the daily-ingest dedup shape:
     signatures/bands for the NEW batch are computed fresh (map-side) and
@@ -288,13 +290,26 @@ def incremental_candidate_pairs(
     (``index_bands``: doc_id, band, band_hash — the output of
     ``lsh_bands`` materialized once), plus candidate pairs within the
     new batch itself. Returns distinct (doc_a, doc_b), doc_a < doc_b.
+    Defaults produce EXACTLY the full-corpus candidate set restricted to
+    pairs touching a new document (the oracle configuration).
 
-    Scale shape: the index is never recomputed or rescanned beyond an
-    equi-join on (band, band_hash) — at 10^12 indexed documents the
-    band table is bucketed/partitioned by band_hash and the probe joins
-    shuffle only the new batch. ``max_bucket_size`` chain-caps the
-    within-batch expansion exactly like ``lsh_candidate_pairs``; the
-    vs-index join is inherently linear in collisions."""
+    **The (k, bands, scheme) MUST match the configuration
+    ``index_bands`` was built with** — a mismatch makes the
+    (band, band_hash) equi-join silently near-empty. ``validate_index``
+    adds a cheap guard (max band id == bands-1); it scans the index's
+    band column, so leave it off in tight loops over a verified index.
+
+    Hot-bucket defusal: the vs-index probe of a degenerate bucket
+    expands to |new∩bucket| x |index∩bucket| rows on ONE task (a single
+    join key is a single partition). ``max_index_bucket_size`` keeps
+    only the N smallest index doc_ids per (band, band_hash) on the probe
+    side — each colliding new doc still links to the bucket's
+    representatives (the connected component survives for clustering)
+    while the expansion is bounded; capped rows are reported through
+    ``observation`` (index_rows_capped). ``max_bucket_size`` chain-caps
+    the within-batch expansion exactly like ``lsh_candidate_pairs``.
+    Both caps trade pair completeness for bounded work — keep them
+    ``None`` when the pair list itself is the product."""
     nb = lsh_bands(
         minhash_signatures(new_docs, id_col, text_col, k, scheme=scheme),
         bands=bands, k=k,
@@ -305,6 +320,25 @@ def incremental_candidate_pairs(
     idx = index_bands.select(
         F.col("doc_id").alias("idx_id"), "band", "band_hash"
     )
+    if validate_index:
+        got_max = idx.agg(F.max("band")).collect()[0][0]
+        if got_max != bands - 1:
+            raise ValueError(
+                f"index_bands has max band id {got_max}, expected "
+                f"{bands - 1}: the index was built with a different "
+                "(k, bands, scheme) configuration"
+            )
+    if max_index_bucket_size is not None:
+        widx = Window.partitionBy("band", "band_hash").orderBy("idx_id")
+        sized = idx.withColumn("rn", F.row_number().over(widx))
+        if observation is not None:
+            sized = sized.observe(
+                observation,
+                F.sum(
+                    (F.col("rn") > max_index_bucket_size).cast("long")
+                ).alias("index_rows_capped"),
+            )
+        idx = sized.where(F.col("rn") <= max_index_bucket_size).drop("rn")
     vs_index = (
         nb.join(idx, ["band", "band_hash"])
         .where(F.col("doc_id") != F.col("idx_id"))
@@ -315,7 +349,7 @@ def incremental_candidate_pairs(
     )
     among_new = bucket_pairs(
         nb, ["band", "band_hash"], "doc_id",
-        max_bucket_size=max_bucket_size, observation=observation,
+        max_bucket_size=max_bucket_size,
     )
     return vs_index.unionByName(among_new).distinct()
 

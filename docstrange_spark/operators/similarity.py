@@ -437,35 +437,68 @@ def build_lsh_index(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vectors: bool = True,
 ) -> DataFrame:
     """Materializable LSH index for ANN: one row per (vector, table)
-    with the normalized vector, its norm, and its per-table bucket —
-    (vid, vec, nrm, tbl, bucket). Persist this (parquet/Iceberg,
-    bucketed by (tbl, bucket)) once per corpus snapshot; every
-    subsequent ``knn_lsh_probe`` call reads it instead of re-hashing
-    10^12 vectors per query batch — the production ANN-serving shape."""
+    with its per-table bucket. Persist this (parquet/Iceberg, bucketed
+    by (tbl, bucket)) once per corpus snapshot; every subsequent
+    ``knn_lsh_probe`` call reads it instead of re-hashing 10^12 vectors
+    per query batch — the production ANN-serving shape.
+
+    ``include_vectors=True`` stores (vid, vec, nrm, tbl, bucket) —
+    probe-ready but the vector bytes are duplicated once per table
+    (n_tables x the corpus's vector storage). At dim 768+ prefer
+    ``include_vectors=False``: the index is scalar-only
+    (vid, tbl, bucket) and ``knn_lsh_probe(vectors=...)`` joins the
+    single-copy vector table back for matched candidates only."""
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("nrm", _norm(F.col("vec")))
+    cols = ["vid", "vec", "nrm"] if include_vectors else ["vid"]
     return base.select(
-        "vid", "vec", "nrm",
+        *cols,
         F.posexplode(_bucket_udf(n_planes, n_tables)(F.col("vec"))).alias(
             "tbl", "bucket"
         ),
     )
 
 
+def lsh_vector_table(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Single-copy (vid, vec, nrm) companion table for a scalar-only
+    ``build_lsh_index(include_vectors=False)`` index."""
+    return embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+
+
 def knn_lsh_probe(
     index: DataFrame,
     queries: DataFrame,
     top_k: int = 10,
+    exclude_self: bool = False,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a (persisted) ``build_lsh_index`` table with a query frame
-    of the SAME index layout (vid, vec, nrm, tbl, bucket — typically
-    ``build_lsh_index`` over the query vectors with the same
-    planes/tables): broadcast equi-join on (tbl, bucket), exact cosine
-    re-rank, per-query top-k. Output matches ``knn_bruteforce``."""
+    of the SAME bucket layout (vid, vec, nrm, tbl, bucket — typically
+    ``build_lsh_index`` over the query vectors with the SAME
+    planes/tables; a mismatch silently empties the join): broadcast
+    equi-join on (tbl, bucket), exact cosine re-rank, per-query top-k.
+    Output matches ``knn_bruteforce``.
+
+    ``exclude_self=True`` drops candidates whose index vid equals the
+    query vid — correct ONLY when queries are drawn from the index
+    itself (the ``knn_lsh`` self-query path). For external query batches
+    leave it False: a query id coinciding with an unrelated index id
+    must not silently lose that neighbor.
+
+    ``vectors``: required when the index is scalar-only
+    (``include_vectors=False``) — the (vid, vec, nrm) table joined back
+    for MATCHED candidates only, keeping vector bytes out of both the
+    persisted index and the bucket join."""
     q = queries.select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -473,12 +506,40 @@ def knn_lsh_probe(
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = index.join(
-        F.broadcast(q),
-        (F.col("tbl") == F.col("qtbl"))
-        & (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vid") != F.col("query_id")),
-    )
+    if "vec" not in index.columns:
+        if vectors is None:
+            raise ValueError(
+                "index is scalar-only (no vec column): pass vectors= the "
+                "(vid, vec, nrm) table from lsh_vector_table"
+            )
+        # scalar bucket join first, distinct candidate ids, then one
+        # vector join per matched candidate
+        qk = q.select("query_id", "qtbl", "qbucket")
+        cand_ids = (
+            index.join(
+                F.broadcast(qk),
+                (F.col("tbl") == F.col("qtbl"))
+                & (F.col("bucket") == F.col("qbucket")),
+            )
+            .select("query_id", F.col("vid").alias("neighbor_id"))
+            .distinct()
+        )
+        qv = q.select("query_id", "qvec", "qnrm").distinct()
+        cand = cand_ids.join(
+            vectors.select(
+                F.col("vid").alias("neighbor_id"), "vec", "nrm"
+            ),
+            "neighbor_id",
+        ).join(F.broadcast(qv), "query_id")
+        cand = cand.withColumn("vid", F.col("neighbor_id"))
+    else:
+        cand = index.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket")),
+        )
+    if exclude_self:
+        cand = cand.where(F.col("vid") != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
@@ -528,5 +589,6 @@ def knn_lsh(
         embeddings, n_planes, n_tables, id_col=id_col, vec_col=vec_col
     )
     return knn_lsh_probe(
-        flat, flat.where(F.col("vid").isin(query_ids)), top_k=top_k
+        flat, flat.where(F.col("vid").isin(query_ids)), top_k=top_k,
+        exclude_self=True,
     )

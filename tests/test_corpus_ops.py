@@ -460,3 +460,31 @@ def test_incremental_pairs_match_full_restriction(documents):
     }
     expected = {p for p in full if p[0] % 7 == 0 or p[1] % 7 == 0}
     assert got == expected
+
+
+def test_incremental_index_bucket_cap(spark):
+    """A degenerate index bucket (2000 identical indexed docs) probed by
+    100 identical new docs must not expand to 200k join rows per band:
+    max_index_bucket_size keeps N representatives per bucket, every new
+    doc still links into the component, and the Observation reports the
+    capped rows."""
+    from pyspark.sql import Observation
+
+    text = F.lit("the same boilerplate text appears on every page of this site")
+    index_docs = spark.range(2000).select(F.col("id").alias("doc_id"), text.alias("text"))
+    new_docs = spark.range(100).select(
+        (F.col("id") + 10_000).alias("doc_id"), text.alias("text")
+    )
+    index_bands = dedup.lsh_bands(dedup.minhash_signatures(index_docs))
+    obs = Observation("idx_cap")
+    pairs = dedup.incremental_candidate_pairs(
+        new_docs, index_bands,
+        max_bucket_size=10, max_index_bucket_size=5, observation=obs,
+    ).collect()
+    vs_index = [(a, b) for a, b in [(r["doc_a"], r["doc_b"]) for r in pairs] if a < 10_000]
+    # every new doc links to the 5 kept representatives (ids 0..4)
+    linked_new = {b for a, b in vs_index}
+    assert linked_new == {10_000 + i for i in range(100)}
+    assert {a for a, b in vs_index} == set(range(5))
+    # 4 bands x (2000-5) capped member rows reported
+    assert obs.get["index_rows_capped"] == 4 * 1995

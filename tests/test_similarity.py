@@ -196,10 +196,49 @@ def test_knn_lsh_probe_over_persisted_index(spark, tmp_path):
     probed = {
         tuple(r)
         for r in similarity.knn_lsh_probe(
-            idx, idx.where(F.col("vid").isin([0, 1, 2])), top_k=5
+            idx, idx.where(F.col("vid").isin([0, 1, 2])), top_k=5,
+            exclude_self=True,  # queries come from the index itself
         ).collect()
     }
     direct = {
         tuple(r) for r in similarity.knn_lsh(emb, [0, 1, 2], top_k=5).collect()
     }
     assert probed == direct and probed
+
+
+def test_knn_lsh_probe_scalar_index_and_external_queries(spark, tmp_path):
+    """Scalar-only index (no vector duplication per table) + re-join
+    through lsh_vector_table must reproduce the vector-carrying probe;
+    external queries (exclude_self=False) must NOT drop an index vector
+    whose id coincides with a query id."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    scalar_idx = similarity.build_lsh_index(emb, include_vectors=False)
+    assert "vec" not in scalar_idx.columns
+    vecs = similarity.lsh_vector_table(emb)
+    queries = similarity.build_lsh_index(emb).where(F.col("vid").isin([0, 1]))
+
+    via_scalar = {
+        tuple(r)
+        for r in similarity.knn_lsh_probe(
+            scalar_idx, queries, top_k=5, vectors=vecs
+        ).collect()
+    }
+    via_full = {
+        tuple(r)
+        for r in similarity.knn_lsh_probe(
+            similarity.build_lsh_index(emb), queries, top_k=5
+        ).collect()
+    }
+    assert via_scalar == via_full and via_scalar
+    # external semantics: the identically-bucketed index vector with the
+    # SAME id is itself a (cosine 1.0) candidate when not excluded
+    assert any(
+        r[0] == 0 and r[1] == 0 and r[3] == 1.0 for r in via_full
+    ), sorted(via_full)[:3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scalar-only"):
+        similarity.knn_lsh_probe(scalar_idx, queries, top_k=5).collect()
