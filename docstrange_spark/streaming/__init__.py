@@ -121,3 +121,117 @@ def run_to_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate detection: stateful LSH buckets
+
+
+def _doc_signature_udf(k: int):
+    """Scalar pandas UDF computing a document's MinHash signature
+    MAP-SIDE from its text alone (no streaming aggregation — the batch
+    operator's groupBy(doc_id) is not available in append mode). The
+    arithmetic is identical to dedup.minhash_signatures(scheme='md5'):
+    min over md5(f"{i}|{shingle}") hex per hash function; docs with no
+    3-gram shingles yield null, mirroring the batch operator emitting
+    no signature row for them."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference can't resolve 'pd.Series'
+    @pandas_udf("array<string>")
+    def sig(texts):
+        out = []
+        for t in texts.fillna(""):
+            toks = t.lower().split(" ")
+            if len(toks) < 3:
+                out.append(None)
+                continue
+            shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            out.append([
+                min(
+                    hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                    for s in shingles
+                )
+                for i in range(k)
+            ])
+        return pd.Series(out)
+
+    return sig
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket_members: int = 1024,
+) -> DataFrame:
+    """Custom stateful operator: near-duplicate candidate pairs over a
+    document STREAM. Each micro-batch's documents are signed map-side
+    (``_doc_signature_udf``) and banded; per (band, band_hash) key,
+    ``applyInPandasWithState`` keeps the bucket's member ids as state
+    and emits a pair for every (existing member, new member) collision
+    plus all within-batch pairs — over an entire drain this reproduces
+    exactly the batch ``dedup.lsh_candidate_pairs`` candidate set, but
+    incrementally, with state bounded by ``max_bucket_members`` per
+    bucket (a degenerate boilerplate bucket stops accumulating state and
+    links new members to the retained representatives only — the same
+    component-preserving trade as the batch hot-bucket cap).
+
+    Input: streaming (doc_id long, text string). Output stream:
+    (doc_a, doc_b), doc_a < doc_b; a pair colliding in several bands may
+    be emitted once per band — distinct at the sink or consumer."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    r = k // bands
+    sig = _doc_signature_udf(k)(F.col("text"))
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.element_at("mh", b * r + j + 1) for j in range(r)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        docs.select("doc_id", sig.alias("mh"))
+        .where(F.col("mh").isNotNull())
+        .select("doc_id", F.explode(entries).alias("bh"))
+        .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    )
+
+    def bucket_fn(key, pdfs, state):
+        members: list[int] = list(state.get[0]) if state.exists else []
+        new_ids: list[int] = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc_id"])
+        new_ids = sorted(set(new_ids) - set(members))
+        pairs = [
+            (min(m, n), max(m, n)) for n in new_ids for m in members
+        ] + [
+            (a, b)
+            for i, a in enumerate(new_ids)
+            for b in new_ids[i + 1 :]
+        ]
+        room = max_bucket_members - len(members)
+        if room > 0:
+            members = members + new_ids[:room]
+            state.update((members,))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        bucket_fn,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="members array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -187,3 +187,56 @@ def test_extract_plan_shape(spark):
         .toString()
     )
     assert plan2.count("MapInPandas") == 2  # small tier + mega tier
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """Stateful LSH near-dup over a stream: drained availableNow across
+    multiple micro-batches, the emitted pair set must equal the batch
+    lsh_candidate_pairs result — cross-batch collisions prove the bucket
+    state survives between micro-batches."""
+    from pyspark.sql import functions as F
+
+    from docstrange_spark.operators import dedup
+    from docstrange_spark.streaming import streaming_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # duplicate 4 docs so pairs exist, split into TWO files so each
+    # original and its duplicate land in different micro-batches
+    picked = docs.orderBy("doc_id").limit(4)
+    dup = picked.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    src = str(tmp_path / "stream_src")
+    docs.limit(40).coalesce(1).write.parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_pairs = streaming_near_dup(stream)
+    sink = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        out_pairs.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_corpus = docs.limit(40).unionByName(dup)
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(batch_corpus).collect()
+    }
+    assert got == expected
+    # the planted duplicates collide across micro-batches
+    for r in picked.select("doc_id").collect():
+        assert (r["doc_id"], r["doc_id"] + 100_000) in expected
+        assert (r["doc_id"], r["doc_id"] + 100_000) in got
