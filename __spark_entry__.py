@@ -349,6 +349,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_source_quality(spark, sf_dir):
+        # curation readout over the unused-by-extraction source column:
+        # per-crawl-source document counts, mean quality, and the share
+        # passing the corpus_filter quality gate
+        docs = _docs(spark, sf_dir)
+        q = text_analysis.quality_score(docs).select("doc_id", "quality")
+        return (
+            docs.select("doc_id", "source")
+            .join(q, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg("quality"), 6).alias("avg_quality"),
+                F.sum((F.col("quality") >= 0.5).cast("int"))
+                .cast("long")
+                .alias("n_pass"),
+            )
+        )
+
     def q_lang_eval(spark, sf_dir):
         # quality evaluation of the n-gram language-ID against the
         # corpus's ground-truth lang column: a confusion matrix
@@ -558,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "lang_stats": q_lang_stats,
         "lang_eval": q_lang_eval,
+        "source_quality": q_source_quality,
         "events_props": q_events_props,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_label_purity": q_knn_label_purity,
@@ -1628,6 +1648,13 @@ FROM bands l JOIN bands r
 WHERE l.doc_id % 7 = 0 OR r.doc_id % 7 = 0"""
     )
     # evaluation queries over the ground-truth columns
+    out["source_quality"] = (
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       round(avg(q.quality), 6) AS avg_quality,\n"
+        "       CAST(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass\n"
+        "FROM documents d JOIN (" + out["quality"] + ") q USING (doc_id)\n"
+        "GROUP BY d.source"
+    )
     out["lang_eval"] = (
         "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"
         "FROM documents d JOIN (" + out["lang_id"] + ") g USING (doc_id)\n"
