@@ -282,9 +282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_clusters_verified(spark, sf_dir):
         # the full production dedup shape: LSH candidates -> exact
-        # Jaccard re-rank -> threshold -> connected components
+        # Jaccard re-rank -> threshold -> connected components.
+        # max_bucket_size=None is the ORACLE configuration: the oracle
+        # verifies uncapped all-pairs candidates, and (unlike raw
+        # clustering) chain-capping can change verified components
         return dedup.verified_clusters(
-            _docs(spark, sf_dir), jaccard_threshold=0.5
+            _docs(spark, sf_dir), jaccard_threshold=0.5, max_bucket_size=None
         ).select(
             "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep")
         )

@@ -439,6 +439,17 @@ def main() -> None:
             spark.stop()
 
     if args.scaling:
+        if "skew" not in result:
+            # BASELINE.md is regenerated WHOLESALE by --scaling; always
+            # measure skew so the mega-doc evidence section survives
+            from docstrange_spark.session import get_spark
+
+            spark = get_spark(app_name="skew_probe", cores=args.cpus)
+            try:
+                spans_path = ensure_spans(spark, sf_of(args.sf_dir))
+                result["skew"] = run_skew_probe(spark, spans_path, args.cpus)
+            finally:
+                spark.stop()
         levels = {
             c: bench_subprocess(c, args.sf_dir, args.runs, SCALING_MULT)
             for c in (SCALING_N, 8, 4 * SCALING_N, 32)

@@ -80,8 +80,7 @@ def _llm_json_payloads(out, args):
             F.lit(', "format": "local_specified_fields", "extractor": "ollama"}'),
         )
     else:
-        with open(args.json_schema) as f:
-            schema = json.load(f)
+        schema = args.schema_obj
         structured = llm.extract_with_schema(
             out, schema, endpoint=args.llm_endpoint, model=args.llm_model
         ).withColumnRenamed("extracted_json", "payload_inner")
@@ -149,13 +148,14 @@ def main(argv: list[str] | None = None) -> int:
         print("Error: --resume does not support --extract-fields/--json-schema",
               file=sys.stderr)
         return 2
+    schema_obj = None
     if args.json_schema:
-        # validate the schema file BEFORE spinning up a Spark session so
-        # a bad path/body gets the CLI's clean exit-2 convention, not a
-        # mid-job traceback
+        # parse the schema file ONCE, before spinning up a Spark session:
+        # a bad path/body gets the CLI's clean exit-2 convention, and the
+        # job uses this parse (no second read, no TOCTOU window)
         try:
             with open(args.json_schema) as f:
-                json.load(f)
+                schema_obj = json.load(f)
         except (OSError, json.JSONDecodeError) as e:
             print(f"Error loading JSON schema: {e}", file=sys.stderr)
             return 2
@@ -199,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
     out = ex.extract(src, formats=fmts)
 
     if args.extract_fields or args.json_schema:
+        args.schema_obj = schema_obj
         # the payload plan references the extract output twice (the LLM
         # kernel input and the fused-json fallback side of the join);
         # cache it so the expensive extraction kernel runs once

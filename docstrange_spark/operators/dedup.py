@@ -322,12 +322,20 @@ def incremental_candidate_pairs(
     )
     if validate_index:
         got_max = idx.agg(F.max("band")).collect()[0][0]
-        if got_max != bands - 1:
+        # an EMPTY index is valid (first-day ingest: only among-new
+        # pairs); max() over zero rows is None, not a config mismatch
+        if got_max is not None and got_max != bands - 1:
             raise ValueError(
                 f"index_bands has max band id {got_max}, expected "
                 f"{bands - 1}: the index was built with a different "
                 "(k, bands, scheme) configuration"
             )
+    if observation is not None and max_index_bucket_size is None and max_bucket_size is None:
+        raise ValueError(
+            "observation requires a cap to report on: set "
+            "max_index_bucket_size and/or max_bucket_size (an observation "
+            "attached to no plan would block .get forever)"
+        )
     if max_index_bucket_size is not None:
         widx = Window.partitionBy("band", "band_hash").orderBy("idx_id")
         sized = idx.withColumn("rn", F.row_number().over(widx))
@@ -350,6 +358,9 @@ def incremental_candidate_pairs(
     among_new = bucket_pairs(
         nb, ["band", "band_hash"], "doc_id",
         max_bucket_size=max_bucket_size,
+        # one Observation cannot attach to two plans: the index cap
+        # claims it when both caps are set
+        observation=observation if max_index_bucket_size is None else None,
     )
     return vs_index.unionByName(among_new).distinct()
 
@@ -394,8 +405,17 @@ def connected_components(
     sharing one ``checkpoint_dir`` can never reclaim each other's live
     files; the final round's files (which back the returned lazy
     DataFrame) are intentionally left for the caller. The session-global
-    checkpoint dir is restored on exit. Local mode and the oracles keep
-    the default."""
+    checkpoint dir is restored on exit (or parked on the caller's
+    ``checkpoint_dir`` when the session had none). Local mode and the
+    oracles keep the default.
+
+    NOT safe for CONCURRENT reliable-mode invocations in one
+    SparkContext: ``setCheckpointDir`` is context-global, so a parallel
+    thread's ``checkpoint()`` calls would land in whichever round
+    directory was set last and may be reclaimed by the other run —
+    serialize reliable CC runs per session (the namespace isolates
+    deletes between sequential calls, not writes between concurrent
+    ones)."""
     spark = vertices.sparkSession
     if checkpoint_dir is not None:
         import uuid as _uuid
@@ -418,6 +438,11 @@ def connected_components(
         def _restore_dir() -> None:
             if _saved.isDefined():
                 spark.sparkContext.setCheckpointDir(_saved.get())
+            else:
+                # no prior dir to restore: park the global dir on the
+                # caller's checkpoint_dir rather than leaving it inside
+                # this invocation's (reclaimable) round namespace
+                spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         _set_round_dir("edges")
 

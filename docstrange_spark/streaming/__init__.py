@@ -176,10 +176,12 @@ def streaming_near_dup(
     and emits a pair for every (existing member, new member) collision
     plus all within-batch pairs — over an entire drain this reproduces
     exactly the batch ``dedup.lsh_candidate_pairs`` candidate set, but
-    incrementally, with state bounded by ``max_bucket_members`` per
-    bucket (a degenerate boilerplate bucket stops accumulating state and
-    links new members to the retained representatives only — the same
-    component-preserving trade as the batch hot-bucket cap).
+    incrementally, with state AND per-batch pair emission bounded by
+    ``max_bucket_members`` per bucket: once a bucket would exceed the
+    cap, the batch's new members are CHAIN-paired (linear output,
+    component preserved) instead of all-pairs — the streaming analog of
+    the batch hot-bucket cap, applied to emission as well as state so a
+    degenerate micro-batch cannot build O(n²) tuples in one state task.
 
     Input: streaming (doc_id long, text string). Output stream:
     (doc_a, doc_b), doc_a < doc_b; a pair colliding in several bands may
@@ -214,17 +216,33 @@ def streaming_near_dup(
         for pdf in pdfs:
             new_ids.extend(int(x) for x in pdf["doc_id"])
         new_ids = sorted(set(new_ids) - set(members))
-        pairs = [
-            (min(m, n), max(m, n)) for n in new_ids for m in members
-        ] + [
-            (a, b)
-            for i, a in enumerate(new_ids)
-            for b in new_ids[i + 1 :]
-        ]
-        room = max_bucket_members - len(members)
-        if room > 0:
-            members = members + new_ids[:room]
-            state.update((members,))
+        if not new_ids:
+            return iter(())
+        if len(members) + len(new_ids) <= max_bucket_members:
+            # normal bucket: full collision pairs (== batch all-pairs)
+            pairs = [
+                (min(m, n), max(m, n)) for n in new_ids for m in members
+            ] + [
+                (a, b)
+                for i, a in enumerate(new_ids)
+                for b in new_ids[i + 1 :]
+            ]
+            members = members + new_ids
+        else:
+            # degenerate bucket: CHAIN pairing, the streaming analog of
+            # the batch hot-bucket cap — linear output/memory, component
+            # preserved (each new id links to its predecessor, the first
+            # to the last stored member)
+            pairs = []
+            prev = members[-1] if members else None
+            for n in new_ids:
+                if prev is not None:
+                    pairs.append((min(prev, n), max(prev, n)))
+                prev = n
+            room = max_bucket_members - len(members)
+            if room > 0:
+                members = members + new_ids[:room]
+        state.update((members,))
         if pairs:
             yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 

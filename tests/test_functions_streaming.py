@@ -240,3 +240,39 @@ def test_streaming_near_dup_matches_batch(spark, tmp_path):
     for r in picked.select("doc_id").collect():
         assert (r["doc_id"], r["doc_id"] + 100_000) in expected
         assert (r["doc_id"], r["doc_id"] + 100_000) in got
+
+
+def test_streaming_near_dup_degenerate_bucket_chains(spark, tmp_path):
+    """A degenerate bucket arriving in one micro-batch must not build
+    O(n^2) pairs in the state task: above max_bucket_members the batch's
+    members are chain-paired (linear output, component preserved)."""
+    from pyspark.sql import functions as F
+
+    from docstrange_spark.streaming import streaming_near_dup
+
+    n = 500
+    src = str(tmp_path / "degen_src")
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears on every page of this site").alias("text"),
+    ).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    sink = str(tmp_path / "degen_pairs")
+    (
+        streaming_near_dup(stream, max_bucket_members=50)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "degen_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(sink).collect()
+    }
+    # chain pairing: n-1 distinct consecutive links (identical in all 4
+    # bands), not C(500,2) ~ 125k pairs
+    assert pairs == {(i, i + 1) for i in range(n - 1)}
