@@ -310,6 +310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id(spark, sf_dir):
         return text_analysis.lang_id(_docs(spark, sf_dir))
 
+    def q_repetition(spark, sf_dir):
+        # Gopher-style repeated-content signals (dup/top word and
+        # 2-gram occurrence fractions) — zero-shuffle array fold
+        return text_analysis.repetition_stats(_docs(spark, sf_dir))
+
     def q_fingerprint(spark, sf_dir):
         return text_analysis.fingerprint(_docs(spark, sf_dir))
 
@@ -575,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
+        "repetition": q_repetition,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1337,6 +1343,35 @@ SELECT doc_id,
              END, 4) AS quality
 FROM m"""
         ),
+        "repetition": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2])
+              ELSE []::VARCHAR[] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(CASE WHEN n > 0
+             THEN (n - len(list_distinct(toks))) / n ELSE 0.0 END, 6)
+         AS dup_word_frac,
+       round(CASE WHEN n > 0
+             THEN len(list_filter(toks, x -> x = list_aggregate(toks, 'mode'))) / n
+             ELSE 0.0 END, 6) AS top_word_frac,
+       round(CASE WHEN len(grams) > 0
+             THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+             ELSE 0.0 END, 6) AS dup_2gram_frac,
+       round(CASE WHEN len(grams) > 0
+             THEN len(list_filter(grams, x -> x = list_aggregate(grams, 'mode'))) / len(grams)
+             ELSE 0.0 END, 6) AS top_2gram_frac
+FROM g""",
         "lang_id": (
             r"""
 WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

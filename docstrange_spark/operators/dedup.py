@@ -405,8 +405,8 @@ def connected_components(
     sharing one ``checkpoint_dir`` can never reclaim each other's live
     files; the final round's files (which back the returned lazy
     DataFrame) are intentionally left for the caller. The session-global
-    checkpoint dir is restored on exit (or parked on the caller's
-    ``checkpoint_dir`` when the session had none). Local mode and the
+    checkpoint dir is restored on exit (back to unset when the session
+    had none — no stray directory is left behind). Local mode and the
     oracles keep the default.
 
     NOT safe for CONCURRENT reliable-mode invocations in one
@@ -439,10 +439,12 @@ def connected_components(
             if _saved.isDefined():
                 spark.sparkContext.setCheckpointDir(_saved.get())
             else:
-                # no prior dir to restore: park the global dir on the
-                # caller's checkpoint_dir rather than leaving it inside
-                # this invocation's (reclaimable) round namespace
-                spark.sparkContext.setCheckpointDir(checkpoint_dir)
+                # no prior dir: restore the true unset state. The Scala
+                # side maps null through Option(directory) to None
+                # without touching the filesystem — setting any real
+                # path here would make Spark create a stray <uuid>/
+                # subdirectory in the caller's checkpoint_dir.
+                spark.sparkContext._jsc.sc().setCheckpointDir(None)
 
         _set_round_dir("edges")
 

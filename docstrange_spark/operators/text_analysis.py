@@ -159,3 +159,85 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def _mode_count(arr):
+    """Occurrence count of the most frequent element of ``arr`` — the
+    longest run of equal adjacent values in the sorted array, folded
+    with ``F.aggregate`` (ties share the count, so tie-breaking is
+    moot). Pure codegen: no explode, no shuffle."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == a["prev"], a["run"]).otherwise(F.lit(0)) + 1).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"]).otherwise(F.lit(0)) + 1,
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table
+    A1): per-document duplicated-word fraction, most-frequent-word
+    fraction, and the 2-gram analogues. Training pipelines drop
+    documents whose text is dominated by a repeated phrase (nav bars,
+    keyword stuffing, OCR stutter).
+
+    Everything is computed from the token array with higher-order
+    functions (``filter``/``array_distinct``/``aggregate`` fold for the
+    mode count) — one projection over the scan, zero shuffles, zero
+    Python, so it composes with any corpus-filter pipeline at 100 TB
+    without adding an exchange. Fractions are occurrence fractions
+    (duplicate occurrences / total occurrences), 0.0 for degenerate
+    docs (no words / no 2-grams).
+    """
+    toks = F.filter(_tokens(text_col), lambda w: w != F.lit(""))
+    t = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    g = t.select(
+        "doc_id",
+        "toks",
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    n_g = F.size("grams")
+
+    def _fracs(col: str, n_col, prefix: str):
+        dup = (n_col - F.size(F.array_distinct(col))) / n_col
+        top = _mode_count(F.col(col)) / n_col
+        zero = F.lit(0.0)
+        return [
+            F.round(F.when(n_col > 0, dup).otherwise(zero), 6).alias(
+                f"dup_{prefix}_frac"
+            ),
+            F.round(F.when(n_col > 0, top).otherwise(zero), 6).alias(
+                f"top_{prefix}_frac"
+            ),
+        ]
+
+    return g.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        *_fracs("toks", F.size("toks"), "word"),
+        *_fracs("grams", n_g, "2gram"),
+    )

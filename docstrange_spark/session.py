@@ -30,14 +30,21 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
-    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32. On a real cluster the
-    builder would omit ``master`` and inherit it from spark-submit.
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32. On a real cluster,
+    launch via ``scripts/submit.sh`` (spark-submit --py-files): it sets
+    ``SPARK_GRAFT_MASTER=inherit`` so the builder leaves ``master`` to
+    spark-submit instead of forcing local mode. Any other value of
+    ``SPARK_GRAFT_MASTER`` is used verbatim (e.g. a standalone
+    ``spark://host:7077`` URL for ad-hoc runs).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = SparkSession.builder.appName(app_name)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if master != "inherit":
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

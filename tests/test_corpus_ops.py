@@ -488,3 +488,36 @@ def test_incremental_index_bucket_cap(spark):
     assert {a for a, b in vs_index} == set(range(5))
     # 4 bands x (2000-5) capped member rows reported
     assert obs.get["index_rows_capped"] == 4 * 1995
+
+
+def test_repetition_stats_values_and_plan(spark):
+    """Hand-computed repetition fractions on crafted docs, and the
+    zero-shuffle contract (one projection over the scan)."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a  c"),   # 6 words (double space), 5 grams
+            (1, ""),                # degenerate: no words
+            (2, "solo"),            # one word: no 2-grams
+            (3, "x x x x"),         # total repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_analysis.repetition_stats(df).collect()}
+    r0 = got[0]
+    assert r0["n_words"] == 6
+    assert r0["dup_word_frac"] == round((6 - 3) / 6, 6)
+    assert r0["top_word_frac"] == round(3 / 6, 6)  # 'a' x3
+    # grams: [a b, b a, a b, b a, a c] -> 2 dup pairs of 5, top 'a b' x2
+    assert r0["dup_2gram_frac"] == round(2 / 5, 6)
+    assert r0["top_2gram_frac"] == round(2 / 5, 6)
+    assert got[1]["n_words"] == 0
+    assert got[1]["dup_word_frac"] == 0.0 and got[1]["top_2gram_frac"] == 0.0
+    assert got[2]["n_words"] == 1 and got[2]["dup_2gram_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.75 and got[3]["top_word_frac"] == 1.0
+    plan = (
+        text_analysis.repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
