@@ -80,6 +80,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docstrange_spark.operators import (
+        curation,
         dedup,
         extract,
         navigation,
@@ -317,6 +318,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fingerprint(spark, sf_dir):
         return text_analysis.fingerprint(_docs(spark, sf_dir))
+
+    # -- corpus curation ---------------------------------------------------
+    def q_hash_split(spark, sf_dir):
+        # deterministic md5-hash train/test membership (stable across
+        # runs/machines, unlike rand()); pure projection
+        return curation.hash_split(_docs(spark, sf_dir)).select(
+            "doc_id", "split_u", "split"
+        )
+
+    def q_pack_batches(spark, sf_dir):
+        # token-budget batch packing, windows partitioned by hash shard
+        # (never a global sort)
+        return curation.pack_batches(_docs(spark, sf_dir))
+
+    def q_decontaminate(spark, sf_dir):
+        # eval-set decontamination: train docs sharing a winnowed
+        # >=27-char match (k=20, window=8) with the doc_id%97==0
+        # eval slice — char-5 grams flag the whole synthetic corpus
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(F.col("doc_id") % 97 == 0)
+        tr = docs.where(F.col("doc_id") % 97 != 0)
+        return curation.decontaminate(tr, ev, k=20, window=8)
 
     def q_corpus_filter(spark, sf_dir):
         # the end-to-end curation pipeline a training corpus runs:
@@ -582,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition": q_repetition,
         "fingerprint": q_fingerprint,
+        "hash_split": q_hash_split,
+        "pack_batches": q_pack_batches,
+        "decontaminate": q_decontaminate,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
         "lang_stats": q_lang_stats,
@@ -983,6 +1009,33 @@ _LSH_PRS_CTE = """prs AS (
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 )"""
+
+def _winnow_cte(prefix: str, where: str, k: int = 5, window: int = 4) -> str:
+    """Winnowing fingerprint CTE block, parameterized exactly like the
+    Spark operator (char-gram length ``k``, window of ``window``
+    consecutive hashes) over a filtered slice of documents;
+    ``{prefix}_f`` holds DISTINCT (doc_id, fp). Shared by the winnow
+    oracle (full corpus, k=5/w=4) and the decontamination oracle
+    (train/eval slices at the long-match point k=20/w=8)."""
+    return f"""{prefix}_t AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE {where}
+),
+{prefix}_g AS (
+  SELECT doc_id, i AS pos, md5(substr(norm, i, {k})) AS h,
+         length(norm) - {k} + 1 AS n_grams
+  FROM {prefix}_t, unnest(generate_series(1, length(norm) - {k} + 1)) AS u(i)
+),
+{prefix}_m AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+  FROM {prefix}_g
+),
+{prefix}_f AS (
+  SELECT DISTINCT doc_id, fp FROM {prefix}_m WHERE pos <= n_grams - {window} + 1
+)"""
+
 
 _JACCARD_DSH_SIZES = """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id)"""
@@ -1391,23 +1444,42 @@ SELECT doc_id,
        md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)) AS fp_prefix64
 FROM documents""",
         # MOSS winnowing: window minima over md5'd character k-grams
-        "winnow": r"""
-WITH t AS (
-  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        "winnow": "WITH " + _winnow_cte("w", "TRUE") + "\nSELECT doc_id, fp FROM w_f",
+        "hash_split": r"""
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           / 268435456.0 AS split_u
   FROM documents
-),
-g AS (
-  SELECT doc_id, i AS pos, md5(substr(norm, i, 5)) AS h,
-         length(norm) - 5 + 1 AS n_grams
-  FROM t, unnest(generate_series(1, length(norm) - 5 + 1)) AS u(i)
-),
-m AS (
-  SELECT doc_id, pos, n_grams,
-         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-  FROM g
 )
-SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - 4 + 1""",
+SELECT doc_id,
+       round(split_u, 6) AS split_u,
+       CASE WHEN split_u < 0.1 THEN 'test' ELSE 'train' END AS split
+FROM u""",
+        "pack_batches": r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 64 AS shard,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       shard,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+         AS batch_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t""",
+        "decontaminate": (
+            "WITH "
+            + _winnow_cte("tr", "doc_id % 97 <> 0", k=20, window=8)
+            + ",\n"
+            + _winnow_cte("ev", "doc_id % 97 = 0", k=20, window=8)
+            + r"""
+SELECT tr_f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM tr_f JOIN (SELECT DISTINCT fp FROM ev_f) e USING (fp)
+GROUP BY tr_f.doc_id"""
+        ),
         "lang_stats": r"""
 SELECT lang,
        count(*) AS n_docs,

@@ -1,0 +1,139 @@
+"""Corpus-curation operators a training-data pipeline needs around the
+extraction engine: deterministic train/eval splitting, token-budget
+batch packing, and eval-set decontamination.
+
+All engine-portable (md5 arithmetic, window functions — every query has
+a bit-exact DuckDB oracle) and scale-shaped: splitting is a pure
+projection, packing windows are PARTITIONED by a hash shard (never a
+global sort), and decontamination joins on fingerprints with the small
+eval side broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text_analysis
+
+# 7 hex chars = 28 bits: the md5-prefix-to-uniform-double trick used
+# across the engine (both engines compute identical values)
+_HEX7 = float(16**7)
+
+
+def _uniform_hash(col, salt: str):
+    """Deterministic uniform [0,1) per value: md5(salt|value) first 7
+    hex digits over 16^7. Portable to DuckDB bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), col.cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HEX7)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/test split on a hash of the id — the way
+    training pipelines split corpora so membership is stable across
+    runs, machines, and re-shuffles (``rand()`` is none of those).
+    Adds ``split`` ('train'/'test') and the underlying ``split_u``
+    uniform. Pure projection: no shuffle, survives any scale."""
+    u = _uniform_hash(F.col(id_col), salt)
+    return df.withColumn("split_u", F.round(u, 6)).withColumn(
+        "split", F.when(u < F.lit(test_frac), F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def pack_batches(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to token-budget training batches: shard by id
+    hash, then within each shard walk documents in id order and cut a
+    new batch each time the running whitespace-token total crosses a
+    ``budget`` multiple (the standard contiguous greedy packing, made
+    deterministic by the id order).
+
+    Scale shape: the running-sum window is PARTITIONED BY shard — never
+    a global ORDER BY, which would funnel 100 TB through one task. Shards
+    pack independently and in parallel; ``n_shards`` should be >= the
+    cluster's task slots. Returns (doc_id, shard, batch_id, n_tokens).
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
+        )
+    ).cast("long")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    t = df.select(
+        F.col(id_col).alias("doc_id"), shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    # exclusive prefix sum -> the batch this doc STARTS in; a doc longer
+    # than the budget still lands in exactly one batch
+    return t.select(
+        "doc_id",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("batch_id"),
+        "n_tokens",
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    winnowed k-gram fingerprint with an eval/benchmark set (the overlap
+    check run before training so eval answers aren't in the corpus).
+
+    Both sides get the same MOSS winnowing (``text_analysis.
+    winnow_fingerprints``: every shared substring of length >= k+window-1
+    is guaranteed to share a fingerprint). The eval set is tiny next to
+    a 100 TB corpus, so its fingerprints broadcast — the train side
+    never shuffles for the join; set ``broadcast_eval=False`` when the
+    eval set itself is large. Returns one row per contaminated training
+    doc: (doc_id, n_shared_fps).
+    """
+    train_fps = text_analysis.winnow_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    eval_fps = text_analysis.winnow_fingerprints(
+        eval_docs, k=k, window=window, id_col=id_col, text_col=text_col
+    ).select(F.col("fp").alias("eval_fp")).distinct()
+    if broadcast_eval:
+        eval_fps = F.broadcast(eval_fps)
+    return (
+        train_fps.join(eval_fps, train_fps["fp"] == eval_fps["eval_fp"], "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )

@@ -103,7 +103,13 @@ def minhash_signatures(
     multiplier reshuffles the shingle ordering independently per i.
     Identical arithmetic reproduces in DuckDB, so the oracle stays
     bit-exact; numeric mins also aggregate cheaper than 32-char string
-    mins."""
+    mins.
+
+    Plan note: a shuffle-free variant (k× ``array_min(transform(...))``
+    folds over the gram array, no explode/groupBy) measured ~1.8×
+    SLOWER at sf0.1 for every (k, scheme) — per-row array allocation
+    costs more than this shuffle, which moves only one k-int row per
+    document thanks to map-side partial mins. Keep the explode."""
     if scheme not in ("md5", "affine"):
         raise ValueError(
             f"unknown minhash scheme {scheme!r}: expected 'md5' or 'affine'"

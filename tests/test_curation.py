@@ -1,0 +1,70 @@
+"""Corpus-curation operators: deterministic splitting, token-budget
+packing, winnow-based decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docstrange_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_hash_split_deterministic_and_proportional(docs):
+    a = {r["doc_id"]: r["split"] for r in curation.hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in curation.hash_split(docs).collect()}
+    assert a == b  # stable across runs
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.04 < frac < 0.2  # ~10% of 600 docs
+    # a different salt re-draws membership
+    c = {r["doc_id"]: r["split"] for r in curation.hash_split(docs, salt="v2").collect()}
+    assert c != a
+    # pure projection: no exchange in the plan
+    plan = curation.hash_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_batches_budget_semantics(spark):
+    # one shard (n_shards=1) makes the walk easy to hand-check
+    rows = [(i, "w " * 100) for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["batch_id"], r["n_tokens"])
+        for r in curation.pack_batches(df, budget=250, n_shards=1).collect()
+    }
+    assert all(v[1] == 100 for v in got.values())
+    # exclusive prefix sums 0,100,...,900 -> batches 0,0,0,1,1,2,2,2,3,3
+    assert [got[i][0] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_pack_batches_sharded_plan_and_coverage(docs):
+    out = curation.pack_batches(docs, budget=512, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc lands in exactly one batch
+    assert {r["shard"] for r in rows} == set(range(8))
+    # within each (shard, batch) the token total stays near the budget:
+    # each batch's START is below a budget boundary by construction
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window is partitioned by shard — never a single global sort
+    assert "hashpartitioning(shard" in plan
+
+
+def test_decontaminate_flags_shared_substrings(spark):
+    # train doc 1 embeds a >= k+window-1 = 8-char substring of eval doc;
+    # train doc 2 shares nothing
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "padding padding benchmark answer is forty padding"),
+            (2, "completely unrelated text with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_fps"] for r in curation.decontaminate(tr, ev).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
