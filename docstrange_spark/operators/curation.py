@@ -16,24 +16,25 @@ from pyspark.sql import functions as F
 
 from . import text_analysis
 
-# 7 hex chars = 28 bits: the md5-prefix-to-uniform-double trick used
-# across the engine (both engines compute identical values)
+# 7 hex chars = 28 bits: the md5-prefix-to-integer trick used across
+# the engine (both engines compute identical values)
 _HEX7 = float(16**7)
+
+
+def _md5_long28(col):
+    """First 7 hex digits of md5(col) as a long — the engine's portable
+    28-bit hash (DuckDB twin: ``('0x' || substr(md5(x), 1, 7))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
 
 
 def _uniform_hash(col, salt: str):
     """Deterministic uniform [0,1) per value: md5(salt|value) first 7
     hex digits over 16^7. Portable to DuckDB bit-for-bit."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), col.cast("string"))), 1, 7
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(_HEX7)
-    )
+    return _md5_long28(F.concat_ws("|", F.lit(salt), col.cast("string"))).cast(
+        "double"
+    ) / F.lit(_HEX7)
 
 
 def hash_split(
@@ -71,17 +72,8 @@ def pack_batches(
     pack independently and in parallel; ``n_shards`` should be >= the
     cluster's task slots. Returns (doc_id, shard, batch_id, n_tokens).
     """
-    toks = F.size(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
-        )
-    ).cast("long")
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
-        ).cast("long")
-        % n_shards
-    )
+    toks = F.size(text_analysis.nonempty_tokens(text_col)).cast("long")
+    shard = _md5_long28(F.col(id_col)) % n_shards
     t = df.select(
         F.col(id_col).alias("doc_id"), shard.alias("shard"), toks.alias("n_tokens")
     )

@@ -30,6 +30,13 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+def nonempty_tokens(text_col: str):
+    """Whitespace tokens with empty strings (from runs of spaces)
+    dropped — the token stream repetition_stats and curation's batch
+    packer count over. One definition so the two can't diverge."""
+    return F.filter(_tokens(text_col), lambda w: w != F.lit(""))
+
+
 # BPE-style pre-tokenizer (GPT-2-shaped, ASCII-simplified so the RE2 /
 # Java regex engines agree): a piece is an optional-leading-space run of
 # letters, digits, or other non-space symbols, or a whitespace run
@@ -200,8 +207,9 @@ def repetition_stats(
     (duplicate occurrences / total occurrences), 0.0 for degenerate
     docs (no words / no 2-grams).
     """
-    toks = F.filter(_tokens(text_col), lambda w: w != F.lit(""))
-    t = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    t = df.select(
+        F.col(id_col).alias("doc_id"), nonempty_tokens(text_col).alias("toks")
+    )
     n = F.size("toks")
     g = t.select(
         "doc_id",

@@ -38,14 +38,29 @@ def get_spark(
     ``spark://host:7077`` URL for ad-hoc runs).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
     b = SparkSession.builder.appName(app_name)
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
-    if master != "inherit":
+    inherit = master == "inherit"
+    if not inherit:
         b = b.master(master)
+    # Local-machine sizing must not leak onto a cluster: under an
+    # inherited master, shuffle parallelism comes from spark-submit
+    # --conf / cluster defaults (a local core count would CAP reduce
+    # tasks — AQE coalesces below initialPartitionNum, never raises it),
+    # and spark.driver.memory is inert once spark-submit has started
+    # the driver JVM (submit.sh passes --driver-memory instead).
+    if shuffle_partitions is not None or not inherit:
+        b = b.config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(cores, 8)),
+        )
+    if not inherit:
+        b = b.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     b = (
         b
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -60,7 +75,6 @@ def get_spark(
         )
         # documents are self-contained: nothing gained from huge scan splits
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -13,14 +13,23 @@ set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MASTER="${MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
-ZIP="$(python "$REPO/scripts/package.py")"
+
+# pin one interpreter for packaging, the driver, and every executor
+# (bare `python` does not exist on python3-only hosts)
+PYTHON="${PYSPARK_PYTHON:-$(command -v python3)}"
+export PYSPARK_PYTHON="$PYTHON"
+
+ZIP="$("$PYTHON" "$REPO/scripts/package.py")"
 
 # the builder must not force local mode under spark-submit
 export SPARK_GRAFT_MASTER=inherit
 
+# driver memory must be set before the driver JVM starts — the in-code
+# builder config is inert under spark-submit
 exec spark-submit \
   --master "$MASTER" \
   --name docstrange_spark \
+  --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-8g}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --py-files "$ZIP" \

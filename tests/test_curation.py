@@ -17,7 +17,7 @@ def test_hash_split_deterministic_and_proportional(docs):
     b = {r["doc_id"]: r["split"] for r in curation.hash_split(docs).collect()}
     assert a == b  # stable across runs
     frac = sum(1 for v in a.values() if v == "test") / len(a)
-    assert 0.04 < frac < 0.2  # ~10% of 600 docs
+    assert 0.04 < frac < 0.2  # ~10% of the 500 sf0.001 docs
     # a different salt re-draws membership
     c = {r["doc_id"]: r["split"] for r in curation.hash_split(docs, salt="v2").collect()}
     assert c != a

@@ -40,11 +40,18 @@ def test_package_zip_deterministic_and_importable(tmp_path):
 def test_spark_submit_end_to_end(tmp_path):
     """Full launch: submit.sh -> spark-submit --py-files zip -> job.py ->
     CLI extraction over a real parquet input."""
-    out_dir = tmp_path / "out"
-    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/opt/spark/bin:/usr/bin:/bin"}
     import os
 
-    env = {**os.environ, **env}
+    out_dir = tmp_path / "out"
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_CPUS": "4",
+        # spark-submit must be findable; keep the ambient PATH so the
+        # pyenv interpreter (which has pyspark) stays resolvable too
+        "PATH": "/opt/spark/bin:" + os.environ.get("PATH", "/usr/bin:/bin"),
+        # driver and executors must use THIS interpreter
+        "PYSPARK_PYTHON": sys.executable,
+    }
     r = subprocess.run(
         [
             str(REPO / "scripts" / "submit.sh"),
@@ -59,6 +66,7 @@ def test_spark_submit_end_to_end(tmp_path):
         text=True,
         timeout=300,
         cwd=str(REPO),
+        env=env,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     import duckdb
