@@ -341,6 +341,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tr = docs.where(F.col("doc_id") % 97 != 0)
         return curation.decontaminate(tr, ev, k=20, window=8)
 
+    def q_source_cap(spark, sf_dir):
+        # domain balancing: top-10 docs per source by quality (window
+        # partitioned by source; deterministic doc_id tiebreak)
+        return curation.source_cap(_docs(spark, sf_dir), per_source=10)
+
+    def q_doc_frequency(spark, sf_dir):
+        # corpus vocabulary: per-token document frequency + IDF
+        # (per-doc array_distinct before the explode; broadcast N)
+        return curation.doc_frequency(_docs(spark, sf_dir))
+
     def q_corpus_filter(spark, sf_dir):
         # the end-to-end curation pipeline a training corpus runs:
         # quality gate + language gate + near-dup keeper selection,
@@ -608,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_batches": q_pack_batches,
         "decontaminate": q_decontaminate,
+        "source_cap": q_source_cap,
+        "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
         "lang_stats": q_lang_stats,
@@ -1765,6 +1777,31 @@ WHERE l.doc_id % 7 = 0 OR r.doc_id % 7 = 0"""
         "FROM documents d JOIN (" + out["quality"] + ") q USING (doc_id)\n"
         "GROUP BY d.source"
     )
+    out["source_cap"] = (
+        "WITH s AS (\n"
+        "  SELECT d.source, d.doc_id, q.quality\n"
+        "  FROM documents d JOIN (" + out["quality"] + ") q USING (doc_id)\n"
+        "),\n"
+        "r AS (\n"
+        "  SELECT source, doc_id, quality,\n"
+        "         row_number() OVER (PARTITION BY source\n"
+        "                            ORDER BY quality DESC, doc_id) AS src_rank\n"
+        "  FROM s)\n"
+        "SELECT source, doc_id, quality, CAST(src_rank AS BIGINT) AS src_rank\n"
+        "FROM r WHERE src_rank <= 10"
+    )
+    out["doc_frequency"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> ''))) AS token
+  FROM documents
+),
+a AS (SELECT token, count(*) AS doc_freq FROM t GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+       round(ln(n_docs / doc_freq), 6) AS idf
+FROM a, n"""
     out["lang_eval"] = (
         "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"
         "FROM documents d JOIN (" + out["lang_id"] + ") g USING (doc_id)\n"

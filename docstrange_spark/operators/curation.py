@@ -72,6 +72,10 @@ def pack_batches(
     pack independently and in parallel; ``n_shards`` should be >= the
     cluster's task slots. Returns (doc_id, shard, batch_id, n_tokens).
     """
+    if budget < 1 or n_shards < 1:
+        raise ValueError(
+            f"budget and n_shards must be >= 1 (got {budget}, {n_shards})"
+        )
     toks = F.size(text_analysis.nonempty_tokens(text_col)).cast("long")
     shard = _md5_long28(F.col(id_col)) % n_shards
     t = df.select(
@@ -128,4 +132,65 @@ def decontaminate(
         train_fps.join(eval_fps, train_fps["fp"] == eval_fps["eval_fp"], "inner")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    per_source: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain balancing: keep at most ``per_source`` documents per
+    source/domain, preferring higher quality score with a deterministic
+    id tiebreak — the per-domain cap web corpora apply so one crawl
+    host can't dominate the training mix.
+
+    The ranking window is PARTITIONED BY source, so domains rank in
+    parallel; the shuffle key is the source itself. A single mega-domain
+    still funnels through one task — for pathological domain skew,
+    pre-sample within the domain (e.g. ``hash_split`` on a per-domain
+    salt) before ranking. Returns (source, doc_id, quality, src_rank).
+    """
+    q = text_analysis.quality_score(
+        df, id_col=id_col, text_col=text_col, keep=(source_col,)
+    ).select(F.col(source_col).alias("source"), "doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return q.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+    ).where(F.col("src_rank") <= per_source)
+
+
+def doc_frequency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and
+    IDF (natural log of corpus size over document frequency) — the
+    table TF-IDF weighting, stopword discovery, and rare-token filters
+    read from.
+
+    Scale shape: tokens are deduplicated INSIDE each document first
+    (``array_distinct`` before the explode), so a token repeated 10^4
+    times in one page still emits one row into the groupBy; the token
+    aggregation gets map-side partial counts, and the corpus size joins
+    in as a broadcast single-row aggregate (no window, no second pass).
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(text_analysis.nonempty_tokens(text_col))).alias(
+            "token"
+        ),
+    )
+    agg = t.groupBy("token").agg(F.count("*").cast("long").alias("doc_freq"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        "token",
+        "doc_freq",
+        F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
     )

@@ -59,9 +59,16 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+) -> DataFrame:
     """Heuristic quality features: token count, mean word length,
-    stopword ratio, punctuation ratio, and a composite keep-score."""
+    stopword ratio, punctuation ratio, and a composite keep-score.
+    ``keep`` passes extra columns through unchanged (it's a pure
+    projection — cheaper than re-joining quality back on the id)."""
     toks = _tokens(text_col)
     n_toks = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
@@ -72,6 +79,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     punct_ratio = n_punct / n_chars
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep],
         n_toks.cast("long").alias("n_tokens"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

@@ -68,3 +68,32 @@ def test_decontaminate_flags_shared_substrings(spark):
     got = {r["doc_id"]: r["n_shared_fps"] for r in curation.decontaminate(tr, ev).collect()}
     assert 1 in got and got[1] >= 1
     assert 2 not in got
+
+
+def test_source_cap_ranks_and_caps(docs):
+    out = curation.source_cap(docs, per_source=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) == 20
+    for src, rows in by_src.items():
+        assert len(rows) == 5  # every source has >= 5 docs at sf0.001
+        rows.sort(key=lambda r: r["src_rank"])
+        quals = [r["quality"] for r in rows]
+        assert quals == sorted(quals, reverse=True)  # best-first
+        assert [r["src_rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_doc_frequency_values_and_plan(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "c c d")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: (r["doc_freq"], r["idf"]) for r in curation.doc_frequency(df).collect()}
+    import math
+
+    assert got["a"][0] == 2 and got["a"][1] == round(math.log(3 / 2), 6)
+    assert got["b"][0] == 1 and got["c"][0] == 2 and got["d"][0] == 1
+    # within-doc repeats collapse before the shuffle; N joins via broadcast
+    plan = curation.doc_frequency(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
