@@ -38,8 +38,17 @@ ITALIC_RE = re.compile(r"\*(.+?)\*")
 TABLE_LINE_RE = re.compile(r"\|.*\|")
 
 
+# Hot-path note: these parsers run per document inside the fused Spark
+# kernel, so each helper short-circuits when its trigger character is
+# absent (a C-level substring scan). Every guard is exact — the regex
+# cannot match without the character — so outputs stay byte-identical
+# to the reference parser (pinned by the differential fuzz tests).
+
+
 def strip_inline(text: str) -> str:
     """Drop inline markdown formatting (bold, italic, code), keep payload."""
+    if "*" not in text and "`" not in text:
+        return text.strip()
     text = BOLD_RE.sub(r"\1", text)
     text = ITALIC_RE.sub(r"\1", text)
     text = INLINE_CODE_RE.sub(r"\1", text)
@@ -47,11 +56,15 @@ def strip_inline(text: str) -> str:
 
 
 def _paragraphs(content: str) -> list[str]:
-    txt = FENCE_RE.sub("", content)
-    txt = TABLE_LINE_RE.sub("", txt)
-    txt = ULIST_RE.sub("", txt)
-    txt = OLIST_RE.sub("", txt)
-    txt = QUOTE_RE.sub("", txt)
+    txt = FENCE_RE.sub("", content) if "```" in content else content
+    if "|" in txt:
+        txt = TABLE_LINE_RE.sub("", txt)
+    if "*" in txt or "-" in txt or "+" in txt:
+        txt = ULIST_RE.sub("", txt)
+    if "." in txt:
+        txt = OLIST_RE.sub("", txt)
+    if ">" in txt:
+        txt = QUOTE_RE.sub("", txt)
     out = []
     for chunk in txt.split("\n\n"):
         chunk = chunk.strip()
@@ -60,7 +73,12 @@ def _paragraphs(content: str) -> list[str]:
     return out
 
 
+_LIST_TRIGGER_RE = re.compile(r"[*\-+]|\d")
+
+
 def _lists(content: str) -> list[dict[str, Any]]:
+    if _LIST_TRIGGER_RE.search(content) is None:
+        return []
     found: list[dict[str, Any]] = []
     cur: dict[str, Any] | None = None
     for raw in content.split("\n"):
@@ -87,6 +105,8 @@ def _lists(content: str) -> list[dict[str, Any]]:
 
 
 def _code_blocks(content: str) -> list[dict[str, str]]:
+    if "```" not in content:
+        return []
     return [
         {"language": m.group(1) or "text", "code": m.group(2).strip()}
         for m in FENCE_RE.finditer(content)
@@ -98,6 +118,8 @@ def _split_cells(row: str) -> list[str]:
 
 
 def _tables(content: str) -> list[dict[str, Any]]:
+    if "|" not in content:
+        return []
     found = []
     for m in TABLE_RE.finditer(content):
         headers = _split_cells(m.group(1).strip())
@@ -114,6 +136,8 @@ def _tables(content: str) -> list[dict[str, Any]]:
 
 
 def _images(content: str) -> list[dict[str, str]]:
+    if "![" not in content:
+        return []
     return [
         {"alt_text": m.group(1), "url": m.group(2)}
         for m in IMAGE_RE.finditer(content)
@@ -121,12 +145,16 @@ def _images(content: str) -> list[dict[str, str]]:
 
 
 def _links(content: str) -> list[dict[str, str]]:
+    if "[" not in content:
+        return []
     return [
         {"text": m.group(1), "url": m.group(2)} for m in LINK_RE.finditer(content)
     ]
 
 
 def _blockquotes(content: str) -> list[str]:
+    if ">" not in content:
+        return []
     return [m.group(1).strip() for m in QUOTE_RE.finditer(content)]
 
 
@@ -174,7 +202,7 @@ def split_flat_sections(markdown_text: str) -> list[dict[str, Any]]:
 
     for raw in markdown_text.split("\n"):
         line = raw.rstrip()
-        m = HEADER_RE.match(line)
+        m = HEADER_RE.match(line) if line[:1] == "#" else None
         if m:
             flush()
             title = m.group(2).strip()

@@ -322,6 +322,14 @@ def extract(
 
     Returns ``(doc_id, markdown, out_spans, n_blocks, profile[,
     renditions...])``.
+
+    Measured cost structure at sf0.1/local[32] (medians): scan ~0.5s,
+    +salt shuffle ~0.3s, a NO-OP pandas stage over the same input
+    ~1.7s, the full fused kernel ~3.2s — i.e. roughly half the wall is
+    the Arrow round-trip of the fat span column, not Python compute. A
+    ``mapInArrow`` variant that flattens the ListArray without per-span
+    dict materialization measured no better (2.0s for the no-op) on
+    this host, so the pandas interface stays.
     """
     spark = df.sparkSession
     n_part = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
