@@ -271,15 +271,29 @@ def run_skew_probe(spark, spans_path: str, cores: int) -> dict:
 SCALING_N = 4  # headline pair: local[4] (N) vs local[16] (4N)
 
 # Append-only raw log of protocol invocations; BASELINE.md pools
-# per-level / per-query bests across ALL recorded invocations (the
-# round-1 "pooled best of N protocol executions" method) so one steal
-# window can't poison the recorded capability in either section.
-POOL_FILE = "BENCH/scaling_runs.jsonl"
+# per-level / per-query bests across the recorded invocations WITH THE
+# SAME CONFIG (the round-1 "pooled best of N protocol executions"
+# method) so one steal window can't poison the recorded capability in
+# either section. Anchored to the repo dir, not the cwd, so the
+# history never forks.
+POOL_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_runs.jsonl"
+)
 
 
-def _append_pool_record(levels: dict[int, dict], main, skew) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+def _append_pool_record(levels: dict[int, dict], main, skew, attempts: int) -> None:
+    os.makedirs(os.path.dirname(POOL_FILE), exist_ok=True)
     rec = {
+        # pooling keys: records from a different corpus scale, core
+        # count, replication factor, or runs-per-median are NOT
+        # comparable and are filtered out at pool time
+        "config": {
+            "sf": main["sf"],
+            "cores": main["cores"],
+            "runs": main.get("runs", 1),
+            "mult": SCALING_MULT,
+            "attempts": attempts,
+        },
         "levels": {
             str(c): {
                 "docs_per_sec": r["docs_per_sec"],
@@ -296,27 +310,39 @@ def _append_pool_record(levels: dict[int, dict], main, skew) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def _pooled() -> tuple[dict[int, dict], dict, dict | None, int]:
-    """(best levels, best-median queries, best skew, n_invocations)
-    pooled across every recorded protocol invocation."""
+def _pooled(config: dict) -> tuple[dict[int, dict], dict, dict | None, int]:
+    """(best levels, best-median queries, median-ratio skew,
+    n_invocations) pooled across recorded protocol invocations whose
+    config matches ``config`` on (sf, mult) for the scaling levels and
+    (sf, cores, runs) for the query table. Skew pools by MEDIAN
+    straggler ratio — unlike throughput, the ratio is not
+    steal-monotone (steal on median-sized tasks deflates it), so a
+    min would select the most corrupted sample."""
     levels: dict[int, dict] = {}
     queries: dict[str, float] = {}
-    skew = None
+    skews: list[dict] = []
     n = 0
     with open(POOL_FILE) as f:
         for line in f:
             rec = json.loads(line)
+            rc = rec.get("config", {})
+            if rc.get("sf") != config["sf"] or rc.get("mult") != config["mult"]:
+                continue
             n += 1
             for c_str, r in rec["levels"].items():
                 c = int(c_str)
                 if c not in levels or r["docs_per_sec"] > levels[c]["docs_per_sec"]:
                     levels[c] = r
-            for q, sec in rec["queries"].items():
-                if q not in queries or sec < queries[q]:
-                    queries[q] = sec
-            s = rec.get("skew")
-            if s and (skew is None or s["straggler_ratio"] < skew["straggler_ratio"]):
-                skew = s
+            if rc.get("cores") == config["cores"] and rc.get("runs") == config["runs"]:
+                for q, sec in rec["queries"].items():
+                    if q not in queries or sec < queries[q]:
+                        queries[q] = sec
+            if rec.get("skew"):
+                skews.append(rec["skew"])
+    skew = None
+    if skews:
+        skews.sort(key=lambda s: s["straggler_ratio"])
+        skew = skews[len(skews) // 2]
     return levels, queries, skew, n
 
 
@@ -378,20 +404,21 @@ def write_baseline_md(
             )
             + (
                 "\nEach level's recorded number is the per-level BEST "
-                f"pooled across {pool_n or 1} recorded protocol "
-                f"invocation(s) (append-only raw log {POOL_FILE}), each "
-                f"of which runs {len(raw_attempts)} interleaved attempts "
-                "(the rounds-1/2 pooled-best protocol: hypervisor steal "
-                "only ever depresses throughput, so the max is the "
-                "capability estimate; within each attempt the extract "
-                "time is still a median of the timed runs). The LATEST "
-                "invocation's raw per-attempt docs/sec:\n\n"
+                f"pooled across {pool_n or 1} same-config protocol "
+                "invocation(s) (append-only raw log "
+                "BENCH/scaling_runs.jsonl; each record carries its own "
+                "attempt count). The rounds-1/2 pooled-best protocol: "
+                "hypervisor steal only ever depresses throughput, so "
+                "the max is the capability estimate; within each "
+                "attempt the extract time is still a median of the "
+                "timed runs. The LATEST invocation's raw per-attempt "
+                "docs/sec:\n\n"
                 + "| attempt | " + " | ".join(
-                    f"local[{c}]" for c in sorted(levels)
-                ) + " |\n|" + "---|" * (len(levels) + 1) + "\n"
+                    f"local[{c}]" for c in sorted(raw_attempts[0])
+                ) + " |\n|" + "---|" * (len(raw_attempts[0]) + 1) + "\n"
                 + "".join(
                     f"| {i + 1} | " + " | ".join(
-                        str(a[c]) for c in sorted(levels)
+                        str(a[c]) for c in sorted(a)
                     ) + " |\n"
                     for i, a in enumerate(raw_attempts)
                 )
@@ -412,7 +439,7 @@ def write_baseline_md(
                 )
                 for pair, e in effs.items()
             )
-            + "\n## Full headline-query timings (local[%d], sf=%s, per-query best median-of-%d across recorded invocations)\n\n"
+            + "\n## Full headline-query timings (local[%d], sf=%s; per-query best of the same-config invocations' median-of-%d timings)\n\n"
             % (main["cores"], main["sf"], main.get("runs", 1))
             + "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in main["queries"].items())
@@ -492,7 +519,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--scaling", action="store_true",
-                    help="also run local[8] vs local[32] scaling protocol")
+                    help="run the pinned scaling protocol: 5 levels "
+                         "(local[2,4,8,16,32]) x --scaling-attempts, "
+                         "~45 min; appends to BENCH/scaling_runs.jsonl "
+                         "and regenerates BENCH/BASELINE.md (pooled)")
     ap.add_argument("--no-aux", action="store_true")
     ap.add_argument("--one", action="store_true",
                     help="internal: single pinned level, print JSON")
@@ -571,8 +601,16 @@ def main() -> None:
             for c in cores_set
         }
         raw = [{c: a[c]["docs_per_sec"] for c in cores_set} for a in attempts]
-        _append_pool_record(levels, main_res, result.get("skew"))
-        pool_levels, pool_queries, pool_skew, pool_n = _pooled()
+        _append_pool_record(
+            levels, main_res, result.get("skew"), len(attempts)
+        )
+        cfg = {
+            "sf": main_res["sf"],
+            "cores": main_res["cores"],
+            "runs": main_res.get("runs", 1),
+            "mult": SCALING_MULT,
+        }
+        pool_levels, pool_queries, pool_skew, pool_n = _pooled(cfg)
         effs = write_baseline_md(
             pool_levels,
             {**main_res, "queries": pool_queries},
@@ -580,8 +618,22 @@ def main() -> None:
             raw_attempts=raw,
             pool_n=pool_n,
         )
+        this_run_effs = {
+            f"{a}->{b}": round(
+                levels[b]["docs_per_sec"] / (4 * levels[a]["docs_per_sec"]), 3
+            )
+            for a, b in ((2, 8), (SCALING_N, 4 * SCALING_N), (8, 32))
+            if a in levels and b in levels
+        }
         result["scaling"] = {
+            # this invocation's per-level bests + their efficiency...
             "docs_per_sec": {c: r["docs_per_sec"] for c, r in levels.items()},
+            "efficiency_this_run": this_run_effs,
+            # ...and the pooled view BASELINE.md records (labeled so the
+            # JSON is self-consistent)
+            "pooled_docs_per_sec": {
+                c: r["docs_per_sec"] for c, r in pool_levels.items()
+            },
             "efficiency": effs,
             "headline_pair": f"{SCALING_N}->{4 * SCALING_N}",
             "headline_efficiency": effs.get(f"{SCALING_N}->{4 * SCALING_N}"),

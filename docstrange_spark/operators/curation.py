@@ -153,6 +153,8 @@ def source_cap(
     pre-sample within the domain (e.g. ``hash_split`` on a per-domain
     salt) before ranking. Returns (source, doc_id, quality, src_rank).
     """
+    if per_source < 1:
+        raise ValueError(f"per_source must be >= 1 (got {per_source})")
     q = text_analysis.quality_score(
         df, id_col=id_col, text_col=text_col, keep=(source_col,)
     ).select(F.col(source_col).alias("source"), "doc_id", "quality")
