@@ -4,7 +4,7 @@ packing, winnow-based decontamination."""
 import pytest
 from pyspark.sql import functions as F
 
-from docstrange_spark.operators import curation
+from docstrange_spark.operators import curation, text_analysis
 
 
 @pytest.fixture(scope="module")
@@ -97,3 +97,59 @@ def test_doc_frequency_values_and_plan(spark):
     # within-doc repeats collapse before the shuffle; N joins via broadcast
     plan = curation.doc_frequency(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_batches_budget_bound_invariant(docs):
+    """Exclusive-prefix packing bound: a batch's token total can exceed
+    the budget only by (its last doc's tokens - 1) — i.e. total <
+    budget + max doc in batch. Holds for every (shard, batch)."""
+    out = curation.pack_batches(docs, budget=300, n_shards=4).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault((r["shard"], r["batch_id"]), []).append(r["n_tokens"])
+    for (shard, batch), toks in groups.items():
+        assert sum(toks) < 300 + max(toks), (shard, batch, toks)
+    # batches within a shard are contiguous: ids 0..max with no holes
+    per_shard = {}
+    for (shard, batch), _ in groups.items():
+        per_shard.setdefault(shard, set()).add(batch)
+    for shard, ids in per_shard.items():
+        assert ids == set(range(max(ids) + 1)), (shard, sorted(ids))
+
+
+def test_hash_split_invariant_under_row_order(spark, docs):
+    """Membership is a pure function of the id — permuting, filtering,
+    or repartitioning the input cannot move a doc across the split."""
+    base = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(docs).select("doc_id", "split").collect()
+    }
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(docs.repartition(7).orderBy("n_chars"))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert shuffled == base
+    subset = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(docs.where("doc_id % 3 = 0"))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert all(base[k] == v for k, v in subset.items())
+
+
+def test_repetition_stats_fraction_bounds(docs):
+    rows = text_analysis.repetition_stats(docs.limit(100)).collect()
+    for r in rows:
+        for c in ("dup_word_frac", "top_word_frac", "dup_2gram_frac", "top_2gram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+        if r["n_words"] > 0:
+            # the most frequent word accounts for at least 1/n of occurrences
+            assert r["top_word_frac"] >= round(1 / r["n_words"], 6) - 1e-9
+
+
+def test_source_cap_rejects_degenerate_cap(docs):
+    with pytest.raises(ValueError):
+        curation.source_cap(docs, per_source=0)
