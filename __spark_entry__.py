@@ -341,6 +341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tr = docs.where(F.col("doc_id") % 97 != 0)
         return curation.decontaminate(tr, ev, k=20, window=8)
 
+    def q_stratified_sample(spark, sf_dir):
+        # corpus-mixing quotas: keep 50% of English, 20% of Spanish,
+        # 10% of everything else — deterministic per (stratum, id)
+        return curation.stratified_sample(
+            _docs(spark, sf_dir), fractions={"en": 0.5, "es": 0.2}
+        ).select("doc_id", "lang", "sample_u")
+
     def q_source_cap(spark, sf_dir):
         # domain balancing: top-10 docs per source by quality (window
         # partitioned by source; deterministic doc_id tiebreak)
@@ -618,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_batches": q_pack_batches,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
@@ -1777,6 +1785,16 @@ WHERE l.doc_id % 7 = 0 OR r.doc_id % 7 = 0"""
         "FROM documents d JOIN (" + out["quality"] + ") q USING (doc_id)\n"
         "GROUP BY d.source"
     )
+    out["stratified_sample"] = r"""
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strat|' || lang || '|' || CAST(doc_id AS VARCHAR)),
+                         1, 7))::BIGINT / 268435456.0 AS su
+  FROM documents
+)
+SELECT doc_id, lang, round(su, 6) AS sample_u
+FROM u
+WHERE su < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2 ELSE 0.1 END"""
     out["source_cap"] = (
         "WITH s AS (\n"
         "  SELECT d.source, d.doc_id, q.quality\n"

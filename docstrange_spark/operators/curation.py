@@ -196,3 +196,30 @@ def doc_frequency(
         "doc_freq",
         F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    fractions: dict | None = None,
+    default_frac: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing knob
+    (e.g. keep 50% of English, 20% of Spanish, 10% of everything
+    else). Membership is a pure function of (salt, stratum, id):
+    stable across runs and machines, exactly reproducible in SQL, and
+    composable with ``hash_split`` via a different salt.
+
+    Pure projection + filter (no shuffle, no sampleBy() RNG); at 100 TB
+    the filter runs inside the scan stage. Returns the kept rows with
+    ``sample_u`` (the per-row uniform) appended.
+    """
+    u = _uniform_hash(
+        F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string")), salt
+    )
+    frac = F.lit(float(default_frac))
+    for k, v in sorted((fractions or {}).items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.withColumn("sample_u", F.round(u, 6)).where(u < frac)

@@ -153,3 +153,25 @@ def test_repetition_stats_fraction_bounds(docs):
 def test_source_cap_rejects_degenerate_cap(docs):
     with pytest.raises(ValueError):
         curation.source_cap(docs, per_source=0)
+
+
+def test_stratified_sample_quotas_and_determinism(docs):
+    out = curation.stratified_sample(docs, fractions={"en": 0.5, "es": 0.2})
+    rows = out.collect()
+    again = {r["doc_id"] for r in out.collect()}
+    assert {r["doc_id"] for r in rows} == again  # deterministic membership
+    by_lang = {}
+    for r in docs.select("doc_id", "lang").collect():
+        by_lang.setdefault(r["lang"], 0)
+    kept = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    if "en" in totals and totals["en"] >= 20:
+        assert 0.3 < kept.get("en", 0) / totals["en"] < 0.7
+    # all sampled uniforms respect their stratum's threshold
+    for r in rows:
+        thr = {"en": 0.5, "es": 0.2}.get(r["lang"], 0.1)
+        assert r["sample_u"] < thr + 1e-6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # projection+filter only
