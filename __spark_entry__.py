@@ -986,10 +986,10 @@ def _sig_cte(k: int, scheme: str = "md5") -> str:
     parameters the Spark operator takes, so any configuration (contract
     k=8 md5 or web-scale k=128 affine) gets a bit-exact oracle. The
     affine scheme recomputes the identical derived-hash arithmetic:
-    one md5 per shingle -> 28-bit base h, per-function md5-derived
+    one md5 per shingle -> 32-bit base h, per-function md5-derived
     constants, (a_i*h + b_i) mod (2^31-1)."""
     if scheme == "affine":
-        h = "('0x' || substr(md5(shingle), 1, 7))::BIGINT"
+        h = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
         a = lambda i: f"(('0x' || substr(md5('a|{i}'), 1, 7))::BIGINT | 1)"
         b = lambda i: f"('0x' || substr(md5('b|{i}'), 1, 7))::BIGINT"
         mins = ",\n  ".join(
@@ -1788,7 +1788,8 @@ WHERE l.doc_id % 7 = 0 OR r.doc_id % 7 = 0"""
     out["stratified_sample"] = r"""
 WITH u AS (
   SELECT doc_id, lang,
-         ('0x' || substr(md5('strat|' || lang || '|' || CAST(doc_id AS VARCHAR)),
+         ('0x' || substr(md5('strat|' || coalesce(lang, '') || '|'
+                             || CAST(doc_id AS VARCHAR)),
                          1, 7))::BIGINT / 268435456.0 AS su
   FROM documents
 )

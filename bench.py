@@ -313,8 +313,10 @@ def _append_pool_record(levels: dict[int, dict], main, skew, attempts: int) -> N
 def _pooled(config: dict) -> tuple[dict[int, dict], dict, dict | None, int]:
     """(best levels, best-median queries, median-ratio skew,
     n_invocations) pooled across recorded protocol invocations whose
-    config matches ``config`` on (sf, mult) for the scaling levels and
-    (sf, cores, runs) for the query table. Skew pools by MEDIAN
+    config matches ``config`` on (sf, mult, runs) for the scaling levels
+    and (sf, cores, runs) for the query table — runs-per-median is a
+    protocol parameter, so a median-of-1 attempt must never pool into a
+    median-of-3 baseline. Skew pools by MEDIAN
     straggler ratio — unlike throughput, the ratio is not
     steal-monotone (steal on median-sized tasks deflates it), so a
     min would select the most corrupted sample."""
@@ -326,7 +328,11 @@ def _pooled(config: dict) -> tuple[dict[int, dict], dict, dict | None, int]:
         for line in f:
             rec = json.loads(line)
             rc = rec.get("config", {})
-            if rc.get("sf") != config["sf"] or rc.get("mult") != config["mult"]:
+            if (
+                rc.get("sf") != config["sf"]
+                or rc.get("mult") != config["mult"]
+                or rc.get("runs") != config["runs"]
+            ):
                 continue
             n += 1
             for c_str, r in rec["levels"].items():

@@ -215,9 +215,19 @@ def stratified_sample(
     Pure projection + filter (no shuffle, no sampleBy() RNG); at 100 TB
     the filter runs inside the scan stage. Returns the kept rows with
     ``sample_u`` (the per-row uniform) appended.
+
+    A NULL stratum hashes as the empty-string sentinel (and draws
+    ``default_frac``) — without the coalesce, Spark's ``concat_ws``
+    skips the NULL while a SQL ``||`` nulls the whole hash, a silent
+    engine divergence; the oracle applies the same ``coalesce``.
     """
     u = _uniform_hash(
-        F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string")), salt
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col(strata_col).cast("string"), F.lit("")),
+            F.col(id_col).cast("string"),
+        ),
+        salt,
     )
     frac = F.lit(float(default_frac))
     for k, v in sorted((fractions or {}).items()):

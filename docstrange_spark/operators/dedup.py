@@ -58,8 +58,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
 
 
 # modulus for the affine derived hashes: 2^31 - 1 (prime). The base
-# hash and multipliers are 28-bit (7 hex chars), so a_i*h stays far
-# below 2^63 in both engines' BIGINT arithmetic
+# hash is 32-bit (8 hex chars of md5) and the multipliers 28-bit
+# (7 hex chars), so a_i*h < 2^60, far below 2^63 in both engines'
+# BIGINT arithmetic. 32 bits of base hash push corpus-wide base-hash
+# birthday collisions out to ~2^16 distinct shingles per COLLIDING
+# PAIR probability of 2^-32 — a colliding pair correlates all k
+# coordinates at once, so the base width (not k) sets the spurious-
+# candidate precision floor; 28 bits hit that floor past ~2^14
+# distinct shingles, 32 bits buys 16x more headroom at zero cost
 KM_MOD = 2_147_483_647
 
 
@@ -92,7 +98,7 @@ def minhash_signatures(
     engine-portable, but k md5 computations per shingle.
 
     ``scheme="affine"`` (production/web-scale): ONE md5 per shingle
-    yields a 28-bit base value h; hash i is the affine permutation
+    yields a 32-bit base value h; hash i is the affine permutation
     ``(a_i*h + b_i) mod (2^31-1)`` with per-function constants a_i/b_i
     themselves md5-derived (both engines compute them; Catalyst
     constant-folds them) — the same construction Spark MLlib's
@@ -116,7 +122,7 @@ def minhash_signatures(
         )
     sh = shingles(df, id_col, text_col)
     if scheme == "affine":
-        h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast(
+        h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
             "long"
         )
         proj = sh.select(
@@ -584,7 +590,7 @@ def verified_clusters(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     scheme: str = "md5",
-    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int | None = None,
     observation=None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -599,15 +605,16 @@ def verified_clusters(
 
     Scale notes:
 
-    - the hot-bucket cap defaults ON (quadratic bucket expansion is
-      never acceptable at corpus scale). Caveat, unlike
-      ``dedup_clusters``: verification is per-edge, so with the cap
-      ENGAGED a chain link that fails verification can split a
-      component that an all-pairs edge would have kept connected. For
-      the truly degenerate buckets the cap exists for — (near-)identical
-      boilerplate — chain links verify at Jaccard ≈ 1.0 and the
-      component is preserved; pass ``max_bucket_size=None`` only when
-      exact all-pairs semantics matter more than bounded work.
+    - the hot-bucket cap defaults OFF here, unlike ``dedup_clusters``,
+      because it is NOT output-invariant under verification:
+      verification is per-edge, so with a cap set a chain link that
+      fails the Jaccard check can split a component that an all-pairs
+      edge would have kept connected — and the bit-exact oracle covers
+      the uncapped configuration. At corpus scale set
+      ``max_bucket_size`` explicitly (quadratic bucket expansion is
+      never acceptable there); for the truly degenerate buckets the cap
+      exists for — (near-)identical boilerplate — chain links verify at
+      Jaccard ≈ 1.0 and the component is preserved.
     - the candidate and verified pair lists are ``localCheckpoint``-ed:
       the Jaccard re-rank references the pair subtree several times and
       connected components references the verified edges twice, and

@@ -27,7 +27,12 @@ LANG_MARKERS = {
 
 
 def _tokens(text_col: str):
-    return F.split(F.lower(F.col(text_col)), " ")
+    # NULL text tokenizes as empty, not as NULL: split(NULL) would
+    # propagate to size() = -1 (legacy sizeOfNull) and poison every
+    # downstream count (repetition n_words, pack_batches running sums)
+    # where the DuckDB twins and the streaming signature UDF treat the
+    # row as an empty document
+    return F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
 
 
 def nonempty_tokens(text_col: str):

@@ -368,7 +368,7 @@ def test_affine_scheme_finds_exact_dups_and_matches_oracle_arithmetic(spark, doc
     toks = row["text"].lower().split(" ")
     shingles_ = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
     hs = np.array(
-        [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles_],
+        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles_],
         dtype=np.int64,
     )
     for i in range(4):

@@ -175,3 +175,49 @@ def test_stratified_sample_quotas_and_determinism(docs):
         assert r["sample_u"] < thr + 1e-6
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # projection+filter only
+
+
+def test_null_text_counts_as_empty_document(spark):
+    """NULL text must behave as an empty document everywhere the token
+    array feeds a count — not as size(NULL) = -1 poisoning running
+    sums (the DuckDB twins and the streaming signature UDF both treat
+    the row as empty)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "two words"), (3, "")], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: r["n_words"]
+        for r in text_analysis.repetition_stats(df).collect()
+    }
+    assert rep == {1: 0, 2: 2, 3: 0}
+    packed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in curation.pack_batches(df, budget=10, n_shards=1).collect()
+    }
+    assert packed[1] == 0 and packed[3] == 0 and packed[2] == 2
+
+
+def test_stratified_sample_null_stratum_sentinel(spark):
+    """A NULL stratum hashes as the empty-string sentinel and draws
+    default_frac — the exact arithmetic both engines now share."""
+    import hashlib
+
+    rows = [(i, None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = curation.stratified_sample(
+        df, strata_col="lang", fractions={"en": 0.5}, default_frac=0.3
+    ).collect()
+    expect = {
+        i
+        for i in range(200)
+        if int(hashlib.md5(f"strat||{i}".encode()).hexdigest()[:7], 16)
+        / 16**7
+        < 0.3
+    }
+    assert {r["doc_id"] for r in kept} == expect
+    for r in kept:
+        u = (
+            int(hashlib.md5(f"strat||{r['doc_id']}".encode()).hexdigest()[:7], 16)
+            / 16**7
+        )
+        assert abs(r["sample_u"] - round(u, 6)) < 1e-9
