@@ -141,29 +141,50 @@ def source_cap(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    n_shards: int = 32,
 ) -> DataFrame:
     """Domain balancing: keep at most ``per_source`` documents per
     source/domain, preferring higher quality score with a deterministic
     id tiebreak — the per-domain cap web corpora apply so one crawl
     host can't dominate the training mix.
 
-    The ranking window is PARTITIONED BY source, so domains rank in
-    parallel; the shuffle key is the source itself. A single mega-domain
-    still funnels through one task — for pathological domain skew,
-    pre-sample within the domain (e.g. ``hash_split`` on a per-domain
-    salt) before ranking. Returns (source, doc_id, quality, src_rank).
+    Skew-safe two-phase top-N: a single window partitioned only by
+    source would funnel a mega-domain (half a web crawl can be one
+    host) through one task. Phase 1 ranks within ``(source, shard)`` —
+    ``shard`` an md5 hash of the id mod ``n_shards`` — keeping
+    ``per_source`` rows per shard, so the heaviest task sees
+    ~|domain| / n_shards rows; phase 2 re-ranks the at most
+    ``n_shards * per_source`` survivors per source. Output is
+    IDENTICAL to the single-window formulation (any doc in a source's
+    global top-N is in its shard's top-N — the ordering is a total
+    order via the id tiebreak), which is what the DuckDB oracle
+    computes. ``n_shards`` should be >= the cluster's task slots;
+    ``n_shards=1`` degenerates to the single-phase plan. Returns
+    (source, doc_id, quality, src_rank) with ``src_rank`` the global
+    per-source rank.
     """
     if per_source < 1:
         raise ValueError(f"per_source must be >= 1 (got {per_source})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
     q = text_analysis.quality_score(
         df, id_col=id_col, text_col=text_col, keep=(source_col,)
     ).select(F.col(source_col).alias("source"), "doc_id", "quality")
-    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    order = (F.desc("quality"), F.asc("doc_id"))
+    if n_shards > 1:
+        w1 = Window.partitionBy("source", "_shard").orderBy(*order)
+        q = (
+            q.withColumn("_shard", _md5_long28(F.col("doc_id")) % n_shards)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= per_source)
+            .drop("_shard", "_r1")
+        )
+    w2 = Window.partitionBy("source").orderBy(*order)
     return q.select(
         "source",
         "doc_id",
         "quality",
-        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.row_number().over(w2).cast("long").alias("src_rank"),
     ).where(F.col("src_rank") <= per_source)
 
 

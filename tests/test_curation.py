@@ -221,3 +221,42 @@ def test_stratified_sample_null_stratum_sentinel(spark):
             / 16**7
         )
         assert abs(r["sample_u"] - round(u, 6)) < 1e-9
+
+
+def test_source_cap_two_phase_identical_and_skew_safe(spark, docs):
+    """The two-phase top-N must (a) return exactly the single-window
+    result, and (b) split a mega-domain across shards so no single
+    ranking task receives the whole domain."""
+    # (a) output identity on the real corpus, n_shards high and 1
+    base = sorted(
+        map(tuple, curation.source_cap(docs, per_source=5, n_shards=1).collect())
+    )
+    sharded = sorted(
+        map(tuple, curation.source_cap(docs, per_source=5, n_shards=32).collect())
+    )
+    assert sharded == base
+    # (b) skewed fixture: one domain holds 95% of rows
+    rows = [(i, f"word{i} text {i % 7}", "megahost") for i in range(8000)]
+    rows += [(100_000 + i, f"other {i}", f"small{i % 5}") for i in range(400)]
+    skew = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.source_cap(skew, per_source=10, n_shards=32)
+    got = out.collect()
+    assert sum(1 for r in got if r["source"] == "megahost") == 10
+    naive = curation.source_cap(skew, per_source=10, n_shards=1).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    # phase-1 exchange partitions by (source, shard): the mega-domain's
+    # heaviest (source, shard) ranking group carries ~1/32 of the domain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in plan and "_shard" in plan
+    from docstrange_spark.operators.curation import _md5_long28
+
+    sizes = (
+        skew.where("source = 'megahost'")
+        .groupBy((_md5_long28(F.col("doc_id")) % 32).alias("s"))
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in sizes)
+    assert len(counts) == 32
+    med = counts[len(counts) // 2]
+    assert counts[-1] <= 2 * med, (counts[-1], med)
