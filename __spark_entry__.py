@@ -353,6 +353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned by source; deterministic doc_id tiebreak)
         return curation.source_cap(_docs(spark, sf_dir), per_source=10)
 
+    def q_paragraph_dedup(spark, sf_dir):
+        # CCNet-style paragraph-level dedup over the EXTRACTED markdown
+        # (its \n\n block boundaries are real paragraphs; the repeated
+        # '## Part N' headers are genuine cross-doc boilerplate)
+        md = _extracted(spark, sf_dir).select(
+            "doc_id", F.col("markdown").alias("text")
+        )
+        return curation.paragraph_stats(md, max_occurrences=1)
+
     def q_doc_frequency(spark, sf_dir):
         # corpus vocabulary: per-token document frequency + IDF
         # (per-doc array_distinct before the explode; broadcast N)
@@ -627,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
+        "paragraph_dedup": q_paragraph_dedup,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1809,6 +1819,26 @@ WHERE su < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2 ELSE 0.1 END"""
         "SELECT source, doc_id, quality, CAST(src_rank AS BIGINT) AS src_rank\n"
         "FROM r WHERE src_rank <= 10"
     )
+    out["paragraph_dedup"] = MD_CTE + r""",
+p AS (
+  SELECT doc_id, u.i - 1 AS pidx, prts[u.i] AS para
+  FROM (SELECT doc_id, string_split(markdown, chr(10) || chr(10)) AS prts
+        FROM md),
+       unnest(generate_series(1, len(prts))) AS u(i)
+),
+c AS (
+  SELECT para, count(DISTINCT doc_id) AS nd FROM p GROUP BY para
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS boiler_frac,
+       coalesce(string_agg(CASE WHEN c.nd <= 1 THEN p.para END,
+                           chr(10) || chr(10) ORDER BY p.pidx), '')
+         AS clean_text
+FROM p JOIN c USING (para)
+GROUP BY p.doc_id"""
     out["doc_frequency"] = r"""
 WITH t AS (
   SELECT doc_id,

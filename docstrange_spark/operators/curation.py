@@ -219,6 +219,72 @@ def doc_frequency(
     )
 
 
+def paragraph_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level dedup (CCNet-style; Wenzek et al. 2020 — public
+    knowledge): split each document on blank lines (the assembly
+    kernel's own block boundary), count how many DISTINCT documents
+    each exact paragraph occurs in, and emit per document the
+    boilerplate fraction plus a cleaned text dropping paragraphs seen
+    in more than ``max_occurrences`` documents. Catches repeated
+    nav-bars / cookie banners / section headers inside otherwise-unique
+    pages — the case document-level MinHash structurally cannot see.
+
+    Scale shape: paragraphs shuffle by their md5 (never the full text
+    as a key); the occurrence count is doc-distinct (a page repeating
+    its own footer 100x doesn't self-mark it boilerplate) with
+    map-side partial aggregation; the count table is corpus-sized so
+    the re-join is a plain shuffle join (no broadcast); the final
+    per-doc regroup re-joins paragraphs in order JVM-side
+    (sort_array over (pidx, para) structs). Returns (doc_id, n_paras,
+    n_boiler, boiler_frac, clean_text). ``max_occurrences=inf`` is the
+    identity on text (split + rejoin on ``sep`` round-trips).
+    """
+    if max_occurrences < 1:
+        raise ValueError(f"max_occurrences must be >= 1 (got {max_occurrences})")
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "pidx", "para"
+        ),
+    ).withColumn("phash", F.md5("para"))
+    counts = (
+        paras.select("phash", "doc_id")
+        .distinct()
+        .groupBy("phash")
+        .agg(F.count("*").cast("long").alias("n_docs_with"))
+    )
+    j = paras.join(counts, "phash")
+    is_boiler = F.col("n_docs_with") > max_occurrences
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(~is_boiler, F.struct(F.col("pidx"), F.col("para")))
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(is_boiler.cast("long")).alias("n_boiler"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_paras"), 6).alias("boiler_frac"),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["para"]), sep
+            ).alias("clean_text"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str = "lang",

@@ -260,3 +260,35 @@ def test_source_cap_two_phase_identical_and_skew_safe(spark, docs):
     assert len(counts) == 32
     med = counts[len(counts) // 2]
     assert counts[-1] <= 2 * med, (counts[-1], med)
+
+
+def test_paragraph_stats_boilerplate_and_identity(spark):
+    """Known fixture: a footer paragraph shared by 3 docs is boilerplate;
+    unique paragraphs survive; a huge threshold is the identity on text."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha body one\n\n{footer}"),
+        (2, f"beta body two\n\n{footer}\n\ngamma extra"),
+        (3, f"{footer}"),
+        (4, "totally unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curation.paragraph_stats(df).collect()}
+    assert got[1]["n_paras"] == 2 and got[1]["n_boiler"] == 1
+    assert got[1]["clean_text"] == "alpha body one"
+    assert got[2]["clean_text"] == "beta body two\n\ngamma extra"
+    assert got[3]["n_boiler"] == 1 and got[3]["clean_text"] == ""
+    assert got[4]["n_boiler"] == 0 and got[4]["clean_text"] == rows[3][1]
+    assert abs(got[2]["boiler_frac"] - round(1 / 3, 6)) < 1e-9
+    # threshold -> infinity: clean_text round-trips the original text
+    ident = {
+        r["doc_id"]: r["clean_text"]
+        for r in curation.paragraph_stats(df, max_occurrences=10**9).collect()
+    }
+    assert ident == {i: t for i, t in rows}
+    # a doc repeating its OWN paragraph does not self-mark as boilerplate
+    selfrep = spark.createDataFrame(
+        [(1, "same para\n\nsame para"), (2, "other")], "doc_id long, text string"
+    )
+    r1 = {r["doc_id"]: r for r in curation.paragraph_stats(selfrep).collect()}
+    assert r1[1]["n_boiler"] == 0 and r1[1]["clean_text"] == "same para\n\nsame para"
