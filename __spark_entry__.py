@@ -353,6 +353,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned by source; deterministic doc_id tiebreak)
         return curation.source_cap(_docs(spark, sf_dir), per_source=10)
 
+    def q_pii_scrub(spark, sf_dir):
+        # PII hygiene pass. The synthetic corpus is PII-free, so the
+        # query plants deterministic doc_id-derived PII (an email, an
+        # IPv4, a phone for every third doc) — the oracle plants the
+        # identical strings and must reproduce counts and redacted text
+        d = F.col("doc_id")
+        aug = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+                F.lit(" from 10.0."), (d % 256).cast("string"),
+                F.lit("."), ((d * 7) % 256).cast("string"),
+                F.when(
+                    d % 3 == 0,
+                    F.concat(
+                        F.lit(" call 555-"),
+                        F.lpad((d % 1000).cast("string"), 3, "0"),
+                        F.lit("-0199"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return text_analysis.pii_scrub(aug)
+
     def q_paragraph_dedup(spark, sf_dir):
         # CCNet-style paragraph-level dedup over the EXTRACTED markdown
         # (its \n\n block boundaries are real paragraphs; the repeated
@@ -637,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1819,6 +1845,48 @@ WHERE su < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2 ELSE 0.1 END"""
         "SELECT source, doc_id, quality, CAST(src_rank AS BIGINT) AS src_rank\n"
         "FROM r WHERE src_rank <= 10"
     )
+    from docstrange_spark.operators.text_analysis import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    out["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           || '-0199'
+                      ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_IP_RE}')) AS n_ips,
+         regexp_replace(t1, '{PII_IP_RE}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+  FROM s2
+)
+SELECT doc_id, clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_redactions
+FROM s3"""
     out["paragraph_dedup"] = MD_CTE + r""",
 p AS (
   SELECT doc_id, u.i - 1 AS pidx, prts[u.i] AS para

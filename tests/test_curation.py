@@ -292,3 +292,32 @@ def test_paragraph_stats_boilerplate_and_identity(spark):
     )
     r1 = {r["doc_id"]: r for r in curation.paragraph_stats(selfrep).collect()}
     assert r1[1]["n_boiler"] == 0 and r1[1]["clean_text"] == "same para\n\nsame para"
+
+
+def test_pii_scrub_counts_and_chain_order(spark):
+    """Redaction fixture: typed placeholders, per-type counts, and the
+    chain-order rule — an email whose host is an IP counts once, as an
+    email. No-PII text is the identity; NULL text scrubs to ''."""
+    rows = [
+        (1, "mail a@b.co and c.d-e@f.org now"),
+        (2, "server at 10.1.2.3 and 255.255.255.0"),
+        (3, "dial 555-123-4567 or 555.123.4567"),
+        (4, "root@192.168.0.1 logged in"),
+        (5, "nothing sensitive here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_analysis.pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2]["n_ips"] == 2 and got[2]["clean_text"] == "server at <IP> and <IP>"
+    assert got[3]["n_phones"] == 2 and got[3]["clean_text"] == "dial <PHONE> or <PHONE>"
+    # an all-numeric host is not an email TLD: the IP stage redacts it,
+    # leaving the user@ prefix intact — exactly one redaction
+    assert got[4]["n_emails"] == 0 and got[4]["n_ips"] == 1
+    assert got[4]["clean_text"] == "root@<IP> logged in"
+    assert got[4]["n_redactions"] == 1
+    assert got[5]["n_redactions"] == 0 and got[5]["clean_text"] == rows[4][1]
+    assert got[6]["n_redactions"] == 0 and got[6]["clean_text"] == ""
+    # pure projection: no exchange, no Python stage
+    plan = text_analysis.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
