@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned by source; deterministic doc_id tiebreak)
         return curation.source_cap(_docs(spark, sf_dir), per_source=10)
 
+    def q_tfidf_top_terms(spark, sf_dir):
+        # per-doc top-5 TF-IDF keywords; broadcast IDF (vocabulary ≪
+        # corpus), deterministic rounded ranking key with term tiebreak
+        return curation.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
     def q_pii_scrub(spark, sf_dir):
         # PII hygiene pass. The synthetic corpus is PII-free, so the
         # query plants deterministic doc_id-derived PII (an email, an
@@ -663,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1919,6 +1925,29 @@ n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
        round(ln(n_docs / doc_freq), 6) AS idf
 FROM a, n"""
+    out["tfidf_top_terms"] = (
+        "WITH tf AS (\n"
+        "  SELECT doc_id, tok AS term, count(*) AS tf\n"
+        "  FROM (SELECT doc_id,\n"
+        "               unnest(list_filter(string_split(lower(text), ' '),\n"
+        "                                  x -> x <> '')) AS tok\n"
+        "        FROM documents)\n"
+        "  GROUP BY doc_id, tok\n"
+        "),\n"
+        "idf AS (SELECT token AS term, idf FROM (" + out["doc_frequency"] + ")),\n"
+        "scored AS (\n"
+        "  SELECT tf.doc_id, tf.term, tf.tf, idf.idf,\n"
+        "         round(tf.tf * idf.idf, 6) AS tfidf\n"
+        "  FROM tf JOIN idf USING (term)\n"
+        "),\n"
+        "r AS (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY doc_id\n"
+        "                               ORDER BY tfidf DESC, term) AS term_rank\n"
+        "  FROM scored)\n"
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, idf, tfidf,\n"
+        "       CAST(term_rank AS BIGINT) AS term_rank\n"
+        "FROM r WHERE term_rank <= 5"
+    )
     out["lang_eval"] = (
         "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"
         "FROM documents d JOIN (" + out["lang_id"] + ") g USING (doc_id)\n"

@@ -219,6 +219,57 @@ def doc_frequency(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the per-doc feature the
+    vocabulary statistics feed (topic tagging, keyword filters, cheap
+    relevance labels). TF is the within-doc occurrence count; IDF comes
+    from :func:`doc_frequency` (already rounded to 6 decimals, so the
+    ranking key ``round(tf * idf, 6)`` is engine-deterministic; ties
+    break on the term).
+
+    Plan shape: term counts aggregate with map-side combine; the IDF
+    table is vocabulary-sized, tiny next to the corpus, so it joins as
+    a BROADCAST by default — the per-doc term table never shuffles for
+    the join. Pass ``broadcast_idf=False`` for a vocabulary too large
+    to broadcast (then it's a plain shuffle join on the term). The
+    top-k window partitions by doc_id — high cardinality, no skew
+    funnel. Returns (doc_id, term, tf, idf, tfidf, term_rank).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(text_analysis.nonempty_tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    idf = doc_frequency(df, id_col=id_col, text_col=text_col).select(
+        F.col("token").alias("term"), "idf"
+    )
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    scored = tf.join(idf, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.select(
+        "doc_id",
+        "term",
+        "tf",
+        "idf",
+        "tfidf",
+        F.row_number().over(w).cast("long").alias("term_rank"),
+    ).where(F.col("term_rank") <= k)
+
+
 def paragraph_stats(
     df: DataFrame,
     id_col: str = "doc_id",

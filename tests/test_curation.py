@@ -321,3 +321,35 @@ def test_pii_scrub_counts_and_chain_order(spark):
     # pure projection: no exchange, no Python stage
     plan = text_analysis.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_tfidf_top_terms_values_and_plan(spark):
+    """Hand-checkable fixture: rare terms outrank common ones; k bounds
+    rows; the IDF side joins as a broadcast."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common other"), (3, "common unique")],
+        "doc_id long, text string",
+    )
+    out = curation.tfidf_top_terms(df, k=2)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    d1 = sorted(by_doc[1], key=lambda r: r["term_rank"])
+    # 'common' appears in all 3 docs -> idf 0 -> tfidf 0; 'rare' wins
+    assert d1[0]["term"] == "rare"
+    assert abs(d1[0]["idf"] - round(math.log(3), 6)) < 1e-9
+    assert d1[0]["tfidf"] == round(1 * round(math.log(3), 6), 6)
+    common = next(r for r in rows if r["term"] == "common")
+    assert common["idf"] == 0.0 and common["tfidf"] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # scale path: broadcast_idf=False falls back to a shuffle join
+    plan2 = (
+        curation.tfidf_top_terms(df, k=2, broadcast_idf=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
