@@ -22,6 +22,7 @@ envelope, csv ``=== File i ===`` sections).
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import sys
 
@@ -230,11 +231,21 @@ def main(argv: list[str] | None = None) -> int:
         # join on <hr>)
         jsonish = args.output_format in ("json", "json_cloud")
         htmlish = args.output_format in ("html", "html_gpu")
-        collected = (
-            out.select("doc_id", F.col(col).alias("payload")).orderBy("doc_id").collect()
+        # memory contract: the presentation path STREAMS — toLocalIterator
+        # holds one partition of renditions on the driver at a time (the
+        # orderBy range-partitions, so partition-by-partition iteration
+        # preserves global doc_id order), never the whole corpus; a full
+        # collect() here was a driver OOM at corpus scale. Output bytes
+        # are identical to the previous collect-based formatting.
+        it = (
+            out.select("doc_id", F.col(col).alias("payload"))
+            .orderBy("doc_id")
+            .toLocalIterator()
         )
-        if len(collected) == 1:
-            payload = collected[0]["payload"]
+        first = next(it, None)
+        second = next(it, None)
+        if first is not None and second is None:
+            payload = first["payload"]
             if jsonish:
                 payload = json.dumps(json.loads(payload), indent=2)
             elif args.output_format == "csv" and not payload.strip():
@@ -243,31 +254,49 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 1
             print(payload)
-        elif jsonish:
-            print(json.dumps(
-                {
-                    "results": [json.loads(r["payload"]) for r in collected],
-                    "count": len(collected),
-                    "errors": [],
-                },
-                indent=2,
-            ))
+            return 0
+        rows = itertools.chain(
+            (r for r in (first, second) if r is not None), it
+        )
+        w = sys.stdout.write
+        if jsonish:
+            # stream the exact json.dumps({"results": [...], "count": n,
+            # "errors": []}, indent=2) byte layout: each element rendered
+            # with indent=2 and re-indented 4 spaces under "results"
+            n = 0
+            for r in rows:
+                w('{\n  "results": [\n    ' if n == 0 else ",\n    ")
+                chunk = json.dumps(json.loads(r["payload"]), indent=2)
+                w(chunk.replace("\n", "\n    "))
+                n += 1
+            if n == 0:
+                w('{\n  "results": [],\n')
+            else:
+                w("\n  ],\n")
+            w(f'  "count": {n},\n  "errors": []\n}}\n')
         elif args.output_format == "csv":
             # index i is positional among ALL documents; empty-table docs
             # are skipped but keep their neighbors' numbers (cli.py:523-531)
-            sections = [
-                f"=== File {i + 1} ===\n{r['payload']}"
-                for i, r in enumerate(collected)
-                if r["payload"].strip()
-            ]
-            if not sections:
+            n_sections = 0
+            for i, r in enumerate(rows):
+                if not r["payload"].strip():
+                    continue
+                if n_sections:
+                    w("\n\n")
+                w(f"=== File {i + 1} ===\n{r['payload']}")
+                n_sections += 1
+            if not n_sections:
                 print("Error: No tables found in any of the input files",
                       file=sys.stderr)
                 return 1
-            print("\n\n".join(sections))
+            w("\n")
         else:
             sep = "\n\n<hr>\n\n" if htmlish else "\n\n---\n\n"
-            print(sep.join(r["payload"] for r in collected))
+            for i, r in enumerate(rows):
+                if i:
+                    w(sep)
+                w(r["payload"])
+            w("\n")
         return 0
 
     if args.combine:

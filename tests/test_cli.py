@@ -201,9 +201,13 @@ def test_cli_variant_formats_combine_families(spark, tmp_path, capsys):
     assert out.count("\n\n<hr>\n\n") == 2 and "GPU Processed" in out
 
     assert cli.main([src, "--output-format", "json_cloud", "--cpus", "4"]) == 0
-    env = _json.loads(capsys.readouterr().out)
+    raw = capsys.readouterr().out
+    env = _json.loads(raw)
     assert env["count"] == 3 and len(env["results"]) == 3
     assert all(r["format"] == "cloud_flat_json" for r in env["results"])
+    # the STREAMED envelope must be byte-identical to a one-shot
+    # json.dumps of the same structure (the pre-streaming formatting)
+    assert raw == _json.dumps(env, indent=2) + "\n"
 
     outdir = str(tmp_path / "jc_combined")
     assert cli.main([src, "--output-format", "json_cloud", "--combine",
