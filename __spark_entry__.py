@@ -418,6 +418,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang_guess", "quality")
         )
 
+    def q_build_corpus(spark, sf_dir):
+        # the capstone: extract -> quality/lang -> verified-dedup
+        # keepers -> source cap -> stratified sample -> hash split ->
+        # batch packing, one lazy plan (corpus.build_corpus materializes
+        # the same stages resumably; the oracle replays the WHOLE chain)
+        from docstrange_spark.operators import corpus
+
+        return corpus.corpus_plan(_docs(spark, sf_dir))
+
     def q_winnow(spark, sf_dir):
         # MOSS winnowing fingerprints: k-gram hash window minima —
         # whole operator in codegen (window + distinct, no UDF)
@@ -672,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
+        "build_corpus": q_build_corpus,
         "lang_stats": q_lang_stats,
         "lang_eval": q_lang_eval,
         "source_quality": q_source_quality,
@@ -1012,18 +1022,27 @@ SELECT doc_id,
 FROM tk"""
 
 
-# shared shingle CTE over documents
-SHINGLE_CTE = r"""
-WITH t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+# shared shingle CTE, parameterized on the source relation (documents
+# for the standalone dedup oracles; the extracted-markdown CTE for the
+# build_corpus chain) and on the token-CTE name (to avoid collisions
+# when composed into a larger WITH)
+def _shingle_cte(src: str = "documents", tok: str = "t") -> str:
+    return f"""
+WITH {tok} AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {src}
 ),
 sh AS (
   SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+  FROM {tok}, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
 )
 """
 
-def _sig_cte(k: int, scheme: str = "md5") -> str:
+
+SHINGLE_CTE = _shingle_cte()
+
+def _sig_cte(
+    k: int, scheme: str = "md5", src: str = "documents", tok: str = "t"
+) -> str:
     """MinHash signature CTE generated from (k, scheme) — the same
     parameters the Spark operator takes, so any configuration (contract
     k=8 md5 or web-scale k=128 affine) gets a bit-exact oracle. The
@@ -1043,7 +1062,7 @@ def _sig_cte(k: int, scheme: str = "md5") -> str:
             f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
         )
     return (
-        SHINGLE_CTE
+        _shingle_cte(src, tok)
         + f", sigs AS (SELECT doc_id,\n  {mins}\n  FROM sh GROUP BY doc_id)"
     )
 
@@ -1102,6 +1121,71 @@ def _winnow_cte(prefix: str, where: str, k: int = 5, window: int = 4) -> str:
 _JACCARD_DSH_SIZES = """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id)"""
 
+# exact-Jaccard re-rank of the candidate pairs at threshold 0.5 —
+# shared by the dedup_clusters_verified oracle and the build_corpus
+# chain (requires prs/sizes/inter CTEs in scope)
+_VERIFIED_CTE = """verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM prs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE round(coalesce(i.n_inter, 0) * 1.0 /
+              (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5
+)"""
+
+
+def _quality_sql(src: str = "documents") -> str:
+    """Heuristic quality-score twin of text_analysis.quality_score,
+    parameterized on the (doc_id, text) source relation."""
+    return (
+        f"""
+WITH q_t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM {src}
+),
+q_m AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         len(list_filter(toks, x -> x IN """
+        + _STOP
+        + r""")) AS stop_hits,
+         n_chars, n_punct
+  FROM q_t
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       round((n_chars - (n_toks - 1)) * 1.0 / n_toks, 4) AS mean_word_len,
+       round(stop_hits * 1.0 / n_toks, 4) AS stopword_ratio,
+       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+       round(CASE WHEN n_toks < 5 THEN 0.0
+             ELSE least(1.0, (stop_hits * 1.0 / n_toks) * 2 + 0.5)
+                  - CASE WHEN n_punct * 1.0 / n_chars > 0.2 THEN 0.5 ELSE 0.0 END
+             END, 4) AS quality
+FROM q_m"""
+    )
+
+
+def _lang_sql(src: str = "documents") -> str:
+    """Marker-word language-ID twin of text_analysis.lang_id,
+    parameterized on the (doc_id, text) source relation."""
+    return (
+        f"""
+WITH l_t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {src}),
+l_s AS (SELECT doc_id, """
+        + _LANG_SCORES
+        + """ FROM l_t),
+l_b AS (SELECT *, """
+        + _LANG_BEST
+        + """ AS best FROM l_s)
+SELECT doc_id, """
+        + _LANG_CASE
+        + """ AS lang_guess, CAST(best AS BIGINT) AS best_score FROM l_b"""
+    )
+
 _JACCARD_INTER = """inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter
   FROM prs p
@@ -1111,21 +1195,32 @@ _JACCARD_INTER = """inter AS (
 )"""
 
 
-def _closure_sql(edge_src: str) -> str:
-    """Min-label transitive closure over a (doc_a, doc_b) CTE: the
-    recursive-reach reconstruction of connected components."""
+def _closure_cte(edge_src: str, vertex_src: str = "documents") -> str:
+    """Min-label transitive closure CTE chain over a (doc_a, doc_b)
+    edge CTE, up to and including ``reach`` — shared by the standalone
+    cluster oracles (final SELECT appended) and the build_corpus chain
+    (a ``clus`` CTE appended instead)."""
     return f""",
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM {edge_src}
   UNION ALL SELECT doc_b, doc_a FROM {edge_src}
 ),
 reach(n, l) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM {vertex_src}
   UNION
   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
-)
+)"""
+
+
+def _closure_sql(edge_src: str, vertex_src: str = "documents") -> str:
+    """Min-label transitive closure over a (doc_a, doc_b) CTE: the
+    recursive-reach reconstruction of connected components."""
+    return (
+        _closure_cte(edge_src, vertex_src)
+        + """
 SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY n"""
+    )
 
 
 def _clusters_oracle(k: int, bands: int, scheme: str = "md5") -> str:
@@ -1429,35 +1524,7 @@ SELECT doc_id,
          AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents""",
-        "quality": (
-            r"""
-WITH q AS (
-  SELECT doc_id,
-         string_split(lower(text), ' ') AS toks,
-         length(text) AS n_chars,
-         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-  FROM documents
-),
-m AS (
-  SELECT doc_id,
-         len(toks) AS n_toks,
-         len(list_filter(toks, x -> x IN """
-            + _STOP
-            + r""")) AS stop_hits,
-         n_chars, n_punct
-  FROM q
-)
-SELECT doc_id,
-       CAST(n_toks AS BIGINT) AS n_tokens,
-       round((n_chars - (n_toks - 1)) * 1.0 / n_toks, 4) AS mean_word_len,
-       round(stop_hits * 1.0 / n_toks, 4) AS stopword_ratio,
-       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
-       round(CASE WHEN n_toks < 5 THEN 0.0
-             ELSE least(1.0, (stop_hits * 1.0 / n_toks) * 2 + 0.5)
-                  - CASE WHEN n_punct * 1.0 / n_chars > 0.2 THEN 0.5 ELSE 0.0 END
-             END, 4) AS quality
-FROM m"""
-        ),
+        "quality": _quality_sql(),
         "repetition": r"""
 WITH t AS (
   SELECT doc_id,
@@ -1487,19 +1554,7 @@ SELECT doc_id,
              THEN len(list_filter(grams, x -> x = list_aggregate(grams, 'mode'))) / len(grams)
              ELSE 0.0 END, 6) AS top_2gram_frac
 FROM g""",
-        "lang_id": (
-            r"""
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-s AS (SELECT doc_id, """
-            + _LANG_SCORES
-            + """ FROM t),
-b AS (SELECT *, """
-            + _LANG_BEST
-            + """ AS best FROM s)
-SELECT doc_id, """
-            + _LANG_CASE
-            + """ AS lang_guess, CAST(best AS BIGINT) AS best_score FROM b"""
-        ),
+        "lang_id": _lang_sql(),
         "fingerprint": r"""
 SELECT doc_id,
        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_full,
@@ -1985,16 +2040,8 @@ GROUP BY knn.query_id"""
         + _JACCARD_DSH_SIZES
         + ",\n"
         + _JACCARD_INTER
-        + """,
-verified AS (
-  SELECT p.doc_a, p.doc_b
-  FROM prs p
-  JOIN sizes sa ON sa.doc_id = p.doc_a
-  JOIN sizes sb ON sb.doc_id = p.doc_b
-  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-  WHERE round(coalesce(i.n_inter, 0) * 1.0 /
-              (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5
-)"""
+        + ",\n"
+        + _VERIFIED_CTE
         + _closure_sql("verified")
     )
     out["corpus_filter"] = (
@@ -2005,5 +2052,74 @@ verified AS (
         "JOIN (" + out["dedup_clusters"] + ") c USING (doc_id)\n"
         "WHERE q.quality >= 0.5 AND l.lang_guess = 'en' "
         "AND c.cluster_rep = d.doc_id"
+    )
+    # the capstone chain: every stage's oracle SQL replayed over the
+    # extracted markdown (cdocs), matching corpus.corpus_plan defaults
+    out["build_corpus"] = (
+        "WITH RECURSIVE "
+        + MD_CTE[len("WITH ") :]
+        + """,
+cdocs AS (
+  SELECT m.doc_id, m.markdown AS text, d.source, d.lang
+  FROM md m JOIN documents d ON m.doc_id = 'doc-' || CAST(d.doc_id AS VARCHAR)
+),
+cq AS ("""
+        + _quality_sql("cdocs")
+        + """),
+clg AS ("""
+        + _lang_sql("cdocs")
+        + """),
+"""
+        + _sig_cte(8, "md5", src="cdocs", tok="ct")[len("WITH ") :]
+        + ",\nbands AS ("
+        + _BANDS_SQL
+        + "),\n"
+        + _LSH_PRS_CTE
+        + ",\n"
+        + _JACCARD_DSH_SIZES
+        + ",\n"
+        + _JACCARD_INTER
+        + ",\n"
+        + _VERIFIED_CTE
+        + _closure_cte("verified", "cdocs")
+        + """,
+clus AS (SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n),
+filt AS (
+  SELECT c.doc_id, c.text, c.source, clg.lang_guess, cq.quality
+  FROM cdocs c
+  JOIN cq ON cq.doc_id = c.doc_id
+  JOIN clg ON clg.doc_id = c.doc_id
+  JOIN clus ON clus.doc_id = c.doc_id
+  WHERE cq.quality >= 0.5 AND clus.cluster_rep = c.doc_id
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) AS src_rank
+  FROM filt
+),
+samp AS (
+  SELECT *,
+         ('0x' || substr(md5('strat|' || coalesce(lang_guess, '') || '|'
+                             || doc_id), 1, 7))::BIGINT / 268435456.0 AS su
+  FROM capped WHERE src_rank <= 10
+),
+kept AS (
+  SELECT *,
+         CASE WHEN ('0x' || substr(md5('split|' || doc_id), 1, 7))::BIGINT
+                   / 268435456.0 < 0.1
+              THEN 'test' ELSE 'train' END AS split,
+         ('0x' || substr(md5(doc_id), 1, 7))::BIGINT % 8 AS shard,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS n_tokens
+  FROM samp
+  WHERE su < CASE lang_guess WHEN 'en' THEN 0.8 ELSE 0.5 END
+)
+SELECT doc_id, source, lang_guess, quality, split,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+         AS batch_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM kept"""
     )
     return out

@@ -101,7 +101,7 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
 
     from pyspark.sql import functions as F
 
-    from docstrange_spark.operators import dedup, navigation, similarity
+    from docstrange_spark.operators import corpus, dedup, navigation, similarity
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -132,6 +132,11 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
             emb, [0, 1, 2, 3, 4], 10
         ).count(),
         "knn_lsh": lambda: similarity.knn_lsh(emb, [0, 1, 2, 3, 4], 10).count(),
+        # the capstone chain (extract -> signals -> verified dedup ->
+        # cap -> sample -> split -> pack) as ONE lazy plan — a
+        # diagnostic row (new in round 4, excluded from the headline
+        # sum for cross-round comparability)
+        "build_corpus": lambda: corpus.corpus_plan(docs).count(),
     }
     times: dict[str, float] = {}
     for name, job in jobs.items():
@@ -454,8 +459,10 @@ def write_baseline_md(
                 "pre-built section table; `knn_lsh` is the multi-table ANN "
                 "(5 queries x corpus); `dedup_minhash_lsh_k128` is the "
                 "web-scale signature point (k=128, 32 bands x 4 rows, "
-                "affine one-md5-per-shingle scheme) — a diagnostic row "
-                "excluded from the headline sum.\n"
+                "affine one-md5-per-shingle scheme) and `build_corpus` "
+                "is the full capstone chain (extract -> signals -> "
+                "verified dedup -> cap -> sample -> split -> pack) — "
+                "diagnostic rows excluded from the headline sum.\n"
             )
             + (
                 "\n## Skew robustness (north-rule mega-doc clause)\n\n"
@@ -551,7 +558,7 @@ def main() -> None:
     # diagnostic rows measure intentionally-heavier alternate
     # configurations; they are reported per-query but excluded from the
     # headline sum so 'value' stays comparable across rounds
-    DIAGNOSTIC = {"dedup_minhash_lsh_k128"}
+    DIAGNOSTIC = {"dedup_minhash_lsh_k128", "build_corpus"}
     result = {
         "metric": "docs/sec extraction throughput",
         "value": round(

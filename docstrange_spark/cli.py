@@ -129,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--llm-model", default="llama3.2")
     ap.add_argument("--list-formats", action="store_true",
                     help="list supported input formats and exit")
+    ap.add_argument("--build-corpus", action="store_true",
+                    help="run the resumable end-to-end corpus builder "
+                         "(extract -> signals -> dedup -> select -> pack) "
+                         "over a documents-style parquet; needs --out, "
+                         "resumes from committed stages on rerun")
     args = ap.parse_args(argv)
 
     if args.list_formats:
@@ -137,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.input is None:
         print("Error: no input specified", file=sys.stderr)
         return 2
+    if args.build_corpus:
+        if args.out is None:
+            print("Error: --build-corpus needs --out", file=sys.stderr)
+            return 2
+        from docstrange_spark.session import get_spark
+        from docstrange_spark.operators import corpus
+
+        spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
+        summary = corpus.build_corpus(spark, args.input, args.out)
+        print(summary)
+        return 0
     if (args.extract_fields or args.json_schema) and args.output_format != "json":
         print("Error: --extract-fields/--json-schema need --output-format json",
               file=sys.stderr)

@@ -1,0 +1,301 @@
+"""End-to-end training-corpus builder — the capstone job composing the
+engine's stages the way a daily pipeline runs them:
+
+    extract -> quality + language signals -> verified near-dup keepers
+    -> per-source cap -> stratified sampling -> train/test split
+    -> token-budget batch packing
+
+Two layers:
+
+- :func:`corpus_plan` — the PURE DataFrame composition (no IO). This is
+  what the contract query runs and what the DuckDB full-chain oracle
+  verifies bit-for-bit.
+- :func:`build_corpus` — the materialized, resumable job: each stage
+  writes parquet under ``out_dir/<stage>/`` and then commits a stage
+  manifest (JSON marker with run lineage: input snapshot id, config
+  fingerprint, row count, wall-clock). A rerun after a kill skips every
+  stage whose manifest matches the current (snapshot, config) and
+  resumes mid-chain; kernels are deterministic, so resumed output is
+  identical to a single uninterrupted run.
+
+Scale notes: every stage is the already-scale-shaped operator it
+composes (salted extraction, bucketed LSH + exact-Jaccard verify,
+two-phase source cap, projection-only sampling/splitting, sharded
+packing windows). Materializing between stages is what a 100 TB run
+wants anyway — each stage's output is the natural checkpoint, and the
+dedup stage (the expensive one) is never recomputed when a later stage
+fails. On a real cluster the parquet stage dirs ride Iceberg tables and
+the JSON markers ride the table's snapshot metadata; the interface is
+identical (see sources/manifest.py for the bucket-level analogue used
+inside the extract stage's CLI path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import curation, dedup, extract, spanize, text_analysis
+
+STAGES = ("extract", "signals", "dedup", "select", "pack")
+
+DEFAULTS = dict(
+    quality_min=0.5,
+    per_source=10,
+    fractions={"en": 0.8},
+    default_frac=0.5,
+    test_frac=0.1,
+    budget=512,
+    n_shards=8,
+    jaccard_threshold=0.5,
+)
+
+
+def _extract_stage(docs: DataFrame) -> DataFrame:
+    """documents (doc_id,text,source,lang) -> extracted corpus
+    (doc_id 'doc-<id>', text = extracted markdown, source, lang)."""
+    md = extract.extract(spanize.spanize(docs), include_spans=False).select(
+        "doc_id", F.col("markdown").alias("text")
+    )
+    meta = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "source",
+        "lang",
+    )
+    return md.join(meta, "doc_id")
+
+
+def _signals_stage(cdocs: DataFrame) -> DataFrame:
+    q = text_analysis.quality_score(cdocs).select("doc_id", "quality")
+    lang = text_analysis.lang_id(cdocs).select("doc_id", "lang_guess")
+    return q.join(lang, "doc_id")
+
+
+def _dedup_stage(cdocs: DataFrame, jaccard_threshold: float) -> DataFrame:
+    # the ORACLE configuration (uncapped all-pairs candidates; see
+    # dedup.verified_clusters on why capping is not output-invariant
+    # under per-edge verification)
+    return dedup.verified_clusters(
+        cdocs, jaccard_threshold=jaccard_threshold, max_bucket_size=None
+    )
+
+
+def _select_stage(
+    cdocs: DataFrame,
+    signals: DataFrame,
+    clusters: DataFrame,
+    quality_min: float,
+    per_source: int,
+    fractions: dict,
+    default_frac: float,
+    test_frac: float,
+) -> DataFrame:
+    filt = (
+        cdocs.join(signals, "doc_id")
+        .join(clusters, "doc_id")
+        .where(
+            (F.col("quality") >= quality_min)
+            & (F.col("cluster_rep") == F.col("doc_id"))
+        )
+        .select("doc_id", "text", "source", "lang_guess")
+    )
+    capped = curation.source_cap(filt, per_source=per_source).select(
+        "doc_id", "quality", "src_rank"
+    )
+    survivors = filt.join(capped, "doc_id")
+    samp = curation.stratified_sample(
+        survivors,
+        strata_col="lang_guess",
+        fractions=fractions,
+        default_frac=default_frac,
+    )
+    return curation.hash_split(samp, test_frac=test_frac).select(
+        "doc_id", "text", "source", "lang_guess", "quality", "split"
+    )
+
+
+def _pack_stage(selected: DataFrame, budget: int, n_shards: int) -> DataFrame:
+    packed = curation.pack_batches(selected, budget=budget, n_shards=n_shards)
+    return selected.drop("text").join(packed, "doc_id").select(
+        "doc_id",
+        "source",
+        "lang_guess",
+        "quality",
+        "split",
+        "shard",
+        "batch_id",
+        "n_tokens",
+    )
+
+
+def corpus_plan(docs: DataFrame, materialize: bool = True, **overrides) -> DataFrame:
+    """The full chain as one plan — the contract-query / oracle
+    surface. ``docs`` is a documents table (doc_id int, text, source,
+    lang); returns one row per document that survives every gate:
+    (doc_id, source, lang_guess, quality, split, shard, batch_id,
+    n_tokens).
+
+    ``materialize`` (default on) localCheckpoints the two fan-out
+    points — the extracted corpus (referenced by signals, dedup,
+    selection, and packing: uncheckpointed, the Python extraction
+    kernel re-executes once per reference, measured ~5x the wall) and
+    the selected set (referenced by packing twice, which would replay
+    the dedup closure). ``build_corpus`` gets the same effect from its
+    per-stage parquet materialization."""
+    cfg = {**DEFAULTS, **overrides}
+    cdocs = _extract_stage(docs)
+    if materialize:
+        cdocs = cdocs.localCheckpoint()
+    signals = _signals_stage(cdocs)
+    clusters = _dedup_stage(cdocs, cfg["jaccard_threshold"])
+    selected = _select_stage(
+        cdocs,
+        signals,
+        clusters,
+        cfg["quality_min"],
+        cfg["per_source"],
+        cfg["fractions"],
+        cfg["default_frac"],
+        cfg["test_frac"],
+    )
+    if materialize:
+        selected = selected.localCheckpoint()
+    return _pack_stage(selected, cfg["budget"], cfg["n_shards"])
+
+
+# ---------------------------------------------------------------------------
+# materialized, resumable job
+
+
+def _config_fingerprint(cfg: dict) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        json.dumps(cfg, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+def _marker_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, f"_STAGE_{stage}.json")
+
+
+def _stage_done(out_dir: str, stage: str, snapshot_id: str, config_fp: str) -> bool:
+    p = _marker_path(out_dir, stage)
+    if not os.path.isfile(p):
+        return False
+    with open(p) as f:
+        m = json.load(f)
+    return m.get("snapshot_id") == snapshot_id and m.get("config_fp") == config_fp
+
+
+def _commit_stage(
+    out_dir: str,
+    stage: str,
+    run_id: str,
+    snapshot_id: str,
+    config_fp: str,
+    n_rows: int,
+    wall_ms: int,
+) -> None:
+    rec = {
+        "stage": stage,
+        "run_id": run_id,
+        "snapshot_id": snapshot_id,
+        "config_fp": config_fp,
+        "n_rows": n_rows,
+        "wall_ms": wall_ms,
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    # marker write AFTER the data parquet is durable = the commit point;
+    # the jsonl log keeps full lineage history across runs/resumes
+    with open(_marker_path(out_dir, stage), "w") as f:
+        json.dump(rec, f, indent=2)
+    with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def build_corpus(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    stop_after: str | None = None,
+    **overrides,
+) -> dict:
+    """Run the corpus chain stage-by-stage with durable checkpoints.
+
+    Each stage writes ``out_dir/<stage>/`` (parquet) and then a
+    ``_STAGE_<stage>.json`` marker carrying (run_id, input snapshot_id,
+    config fingerprint, rows, wall). On rerun, stages whose marker
+    matches the current snapshot+config are SKIPPED and their parquet
+    output is read back — a job killed after the dedup stage resumes at
+    selection without recomputing extraction or LSH. A changed input or
+    config invalidates every stage (fingerprint mismatch), never
+    silently reuses stale data.
+
+    ``stop_after`` ends the run after the named stage commits (the test
+    hook standing in for a mid-chain kill). Returns a summary dict with
+    per-stage 'ran'/'skipped' status and the final output path.
+    """
+    from docstrange_spark.sources import manifest as mf
+
+    cfg = {**DEFAULTS, **overrides}
+    if stop_after is not None and stop_after not in STAGES:
+        raise ValueError(f"stop_after must be one of {STAGES} (got {stop_after!r})")
+    snapshot_id = mf.snapshot_id_of(input_path)
+    config_fp = _config_fingerprint(cfg)
+    run_id = uuid.uuid4().hex[:12]
+    os.makedirs(out_dir, exist_ok=True)
+    status: dict[str, str] = {}
+
+    def run_stage(stage: str, make: "callable") -> DataFrame:
+        path = os.path.join(out_dir, stage)
+        if _stage_done(out_dir, stage, snapshot_id, config_fp):
+            status[stage] = "skipped"
+            return spark.read.parquet(path)
+        t0 = time.time()
+        make().write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        _commit_stage(
+            out_dir, stage, run_id, snapshot_id, config_fp,
+            out.count(), int((time.time() - t0) * 1000),
+        )
+        status[stage] = "ran"
+        return out
+
+    docs = spark.read.parquet(input_path)
+    cdocs = run_stage("extract", lambda: _extract_stage(docs))
+    done = stop_after == "extract"
+    if not done:
+        signals = run_stage("signals", lambda: _signals_stage(cdocs))
+        done = stop_after == "signals"
+    if not done:
+        clusters = run_stage(
+            "dedup", lambda: _dedup_stage(cdocs, cfg["jaccard_threshold"])
+        )
+        done = stop_after == "dedup"
+    if not done:
+        selected = run_stage(
+            "select",
+            lambda: _select_stage(
+                cdocs, signals, clusters,
+                cfg["quality_min"], cfg["per_source"], cfg["fractions"],
+                cfg["default_frac"], cfg["test_frac"],
+            ),
+        )
+        done = stop_after == "select"
+    if not done:
+        run_stage("pack", lambda: _pack_stage(selected, cfg["budget"], cfg["n_shards"]))
+
+    return {
+        "run_id": run_id,
+        "snapshot_id": snapshot_id,
+        "config_fp": config_fp,
+        "stages": status,
+        "out_dir": out_dir,
+        "final": os.path.join(out_dir, "pack"),
+    }

@@ -221,3 +221,22 @@ def test_cli_variant_formats_combine_families(spark, tmp_path, capsys):
                      "--json-schema", "x.json"]) == 2
     assert cli.main([src, "--output-format", "json", "--extract-fields", "a",
                      "--resume", "--out", str(tmp_path / "r")]) == 2
+
+
+def test_cli_build_corpus_runs_and_resumes(spark, tmp_path, capsys):
+    """--build-corpus runs the staged job end-to-end from the CLI and a
+    second invocation skips every committed stage."""
+    out = str(tmp_path / "corpus_cli")
+    rc = cli.main(["/root/testdata/sf0.001/documents.parquet",
+                   "--build-corpus", "--out", out, "--cpus", "4"])
+    assert rc == 0
+    first = capsys.readouterr().out
+    assert "'pack': 'ran'" in first
+    assert spark.read.parquet(f"{out}/pack").count() > 20
+    rc = cli.main(["/root/testdata/sf0.001/documents.parquet",
+                   "--build-corpus", "--out", out, "--cpus", "4"])
+    assert rc == 0
+    assert "'pack': 'skipped'" in capsys.readouterr().out
+    # flag validation: no --out is exit 2
+    assert cli.main(["/root/testdata/sf0.001/documents.parquet",
+                     "--build-corpus"]) == 2

@@ -1,0 +1,84 @@
+"""build_corpus: the materialized, resumable end-to-end corpus job.
+Composite-level resume semantics: a kill mid-chain resumes from the
+last committed stage and the final output is identical to an
+uninterrupted run."""
+
+import json
+import os
+
+import pytest
+
+from docstrange_spark.operators import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_path():
+    return f"{SF}/documents.parquet"
+
+
+def _rows(spark, path):
+    return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+
+def test_build_corpus_matches_plan_and_is_idempotent(spark, tmp_path, docs_path):
+    out = str(tmp_path / "one_shot")
+    summary = corpus.build_corpus(spark, docs_path, out)
+    assert summary["stages"] == {s: "ran" for s in corpus.STAGES}
+    got = _rows(spark, summary["final"])
+    want = sorted(
+        map(tuple, corpus.corpus_plan(spark.read.parquet(docs_path)).collect())
+    )
+    assert got == want and len(got) > 20
+    # rerun: every stage skipped, output unchanged
+    again = corpus.build_corpus(spark, docs_path, out)
+    assert again["stages"] == {s: "skipped" for s in corpus.STAGES}
+    assert _rows(spark, again["final"]) == got
+    # lineage: one manifest record per stage per actual execution
+    recs = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert [r["stage"] for r in recs] == list(corpus.STAGES)
+    assert all(r["snapshot_id"] == summary["snapshot_id"] for r in recs)
+
+
+def test_build_corpus_resumes_after_kill(spark, tmp_path, docs_path):
+    """Kill after the dedup stage commits; the rerun must skip
+    extract/signals/dedup, run only select/pack, and produce output
+    identical to an uninterrupted run."""
+    out = str(tmp_path / "killed")
+    partial = corpus.build_corpus(spark, docs_path, out, stop_after="dedup")
+    assert partial["stages"] == {"extract": "ran", "signals": "ran", "dedup": "ran"}
+    assert not os.path.exists(os.path.join(out, "pack"))
+    resumed = corpus.build_corpus(spark, docs_path, out)
+    assert resumed["stages"] == {
+        "extract": "skipped",
+        "signals": "skipped",
+        "dedup": "skipped",
+        "select": "ran",
+        "pack": "ran",
+    }
+    fresh = str(tmp_path / "fresh")
+    corpus.build_corpus(spark, docs_path, fresh)
+    assert _rows(spark, resumed["final"]) == _rows(
+        spark, os.path.join(fresh, "pack")
+    )
+
+
+def test_build_corpus_config_change_invalidates(spark, tmp_path, docs_path):
+    """A changed config fingerprint must never silently reuse stale
+    stage output — every stage reruns."""
+    out = str(tmp_path / "cfg")
+    corpus.build_corpus(spark, docs_path, out, stop_after="signals")
+    redo = corpus.build_corpus(spark, docs_path, out, budget=256)
+    assert redo["stages"]["extract"] == "ran"  # fingerprint mismatch
+    assert redo["stages"]["pack"] == "ran"
+    # the packed output reflects the new budget: more batches per shard
+    import pyspark.sql.functions as F
+
+    packed = spark.read.parquet(redo["final"])
+    assert packed.where(F.col("batch_id") > 0).count() > 0
+
+
+def test_build_corpus_rejects_unknown_stage(spark, tmp_path, docs_path):
+    with pytest.raises(ValueError):
+        corpus.build_corpus(spark, docs_path, str(tmp_path / "x"), stop_after="nope")
