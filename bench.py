@@ -160,7 +160,11 @@ def _reset_heap_peaks(spark) -> None:
 
 
 def _peak_heap_mb(spark) -> float:
-    """Sum of the JVM heap pools' peak usage since the last reset, MiB."""
+    """Sum of the JVM heap pools' peak usage since the last reset, MiB.
+    Per-pool watermarks need not be simultaneous (eden peaks before
+    each young GC, old-gen after promotion), so this is an UPPER BOUND
+    on instantaneous heap — comparable across runs measured the same
+    way, not an absolute footprint."""
     mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
     total = 0
     it = mf.getMemoryPoolMXBeans().iterator()
@@ -444,29 +448,34 @@ def _volume_section_md() -> str:
     ms = sorted(best)
     lo, hi = best[ms[0]], best[ms[-1]]
     ratio = round(hi["docs_per_sec"] / lo["docs_per_sec"], 3)
+    vol_ratio = ms[-1] // ms[0] if ms[0] else ms[-1]
     heap_ratio = (
         round(hi["peak_heap_mb"] / lo["peak_heap_mb"], 2)
         if hi.get("peak_heap_mb") and lo.get("peak_heap_mb")
         else None
     )
     return (
-        "\n## Data-volume scaling (sf-equivalent 1: 600k docs)\n\n"
-        f"Same pinned local[{hi['cores']}] job, corpus replicated x1 vs "
+        f"\n## Data-volume scaling ({hi['n_docs']} docs at the largest point)\n\n"
+        f"Same pinned local[{hi['cores']}] job, corpus replicated x{ms[0]} vs "
         f"x{ms[-1]} (`bench.py --volume`, per-level best across recorded "
         "invocations, median-of-runs within each):\n\n"
-        "| volume | docs | extract sec | docs/sec | peak JVM heap MiB |\n"
+        "| volume | docs | extract sec | docs/sec | peak JVM heap MiB* |\n"
         "|---|---|---|---|---|\n"
         + rows
-        + f"\nThroughput at x{ms[-1]} is **{ratio}x** the x1 rate (>= 1 "
+        + f"\nThroughput at x{ms[-1]} is **{ratio}x** the x{ms[0]} rate (>= 1 "
         "means per-doc cost is flat-or-better as volume grows: per-job "
         "fixed costs amortize, no super-linear term)"
         + (
-            f"; peak heap grows only {heap_ratio}x for 10x the data — "
-            "the pipeline streams Arrow batches, it does not hold the "
-            "corpus in memory.\n"
+            f"; peak heap grows only {heap_ratio}x for {vol_ratio}x the "
+            "data — the pipeline streams Arrow batches, it does not "
+            "hold the corpus in memory.\n"
             if heap_ratio is not None
             else ".\n"
         )
+        + "\n*sum of per-pool JVM peak watermarks (eden/survivor/old "
+        "peak at different instants), so the absolute column is an "
+        "upper bound; the x1-vs-x10 comparison uses the same measure "
+        "on both sides.\n"
     )
 
 
@@ -527,6 +536,9 @@ def write_baseline_md(
                 for c, r in sorted(levels.items())
             )
             + (
+                # provenance ALWAYS renders (regeneration without fresh
+                # attempts must never strip the pooled-best methodology
+                # note — pooled maxima would read as single-run medians)
                 "\nEach level's recorded number is the per-level BEST "
                 f"pooled across {pool_n or 1} same-config protocol "
                 "invocation(s) (append-only raw log "
@@ -535,7 +547,10 @@ def write_baseline_md(
                 "hypervisor steal only ever depresses throughput, so "
                 "the max is the capability estimate; within each "
                 "attempt the extract time is still a median of the "
-                "timed runs. The LATEST invocation's raw per-attempt "
+                "timed runs."
+            )
+            + (
+                " The LATEST invocation's raw per-attempt "
                 "docs/sec:\n\n"
                 + "| attempt | " + " | ".join(
                     f"local[{c}]" for c in sorted(raw_attempts[0])
@@ -547,7 +562,7 @@ def write_baseline_md(
                     for i, a in enumerate(raw_attempts)
                 )
                 if raw_attempts
-                else ""
+                else "\n"
             )
             + "\n**Scaling efficiency** thr_4N / (4 x thr_N):\n\n"
             + "".join(

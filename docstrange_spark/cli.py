@@ -253,6 +253,10 @@ def main(argv: list[str] | None = None) -> int:
         # preserves global doc_id order), never the whole corpus; a full
         # collect() here was a driver OOM at corpus scale. Output bytes
         # are identical to the previous collect-based formatting.
+        # Failure contract: a task failing mid-iteration aborts with a
+        # nonzero exit AFTER earlier partitions' bytes are already on
+        # stdout (collect() failed before any bytes) — consumers must
+        # check the exit code, as with any streaming unix tool.
         it = (
             out.select("doc_id", F.col(col).alias("payload"))
             .orderBy("doc_id")

@@ -102,11 +102,14 @@ def _select_stage(
             (F.col("quality") >= quality_min)
             & (F.col("cluster_rep") == F.col("doc_id"))
         )
-        .select("doc_id", "text", "source", "lang_guess")
+        .select("doc_id", "text", "source", "lang_guess", "quality")
     )
-    capped = curation.source_cap(filt, per_source=per_source).select(
-        "doc_id", "quality", "src_rank"
-    )
+    # rank on the signals stage's already-computed quality — a second
+    # scoring pass over every surviving document's text would defeat
+    # the point of materializing the signals stage
+    capped = curation.source_cap(
+        filt, per_source=per_source, quality_col="quality"
+    ).select("doc_id", "src_rank")
     survivors = filt.join(capped, "doc_id")
     samp = curation.stratified_sample(
         survivors,
@@ -188,8 +191,14 @@ def _stage_done(out_dir: str, stage: str, snapshot_id: str, config_fp: str) -> b
     p = _marker_path(out_dir, stage)
     if not os.path.isfile(p):
         return False
-    with open(p) as f:
-        m = json.load(f)
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # a torn/unreadable marker (kill mid-commit before the rename
+        # made it durable, disk hiccup) means NOT committed — the stage
+        # reruns, which is always safe (writes are overwrite-idempotent)
+        return False
     return m.get("snapshot_id") == snapshot_id and m.get("config_fp") == config_fp
 
 
@@ -211,10 +220,15 @@ def _commit_stage(
         "wall_ms": wall_ms,
         "committed_at_ms": int(time.time() * 1000),
     }
-    # marker write AFTER the data parquet is durable = the commit point;
-    # the jsonl log keeps full lineage history across runs/resumes
-    with open(_marker_path(out_dir, stage), "w") as f:
+    # marker write AFTER the data parquet is durable = the commit
+    # point, and the marker itself commits atomically (temp file +
+    # rename) so a kill mid-write can never leave a torn marker that
+    # breaks the NEXT resume; the jsonl log keeps full lineage history
+    p = _marker_path(out_dir, stage)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(rec, f, indent=2)
+    os.replace(tmp, p)
     with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
 
@@ -297,5 +311,8 @@ def build_corpus(
         "config_fp": config_fp,
         "stages": status,
         "out_dir": out_dir,
-        "final": os.path.join(out_dir, "pack"),
+        # None until the pack stage has actually committed (a
+        # stop_after partial run must not point callers at a
+        # nonexistent path)
+        "final": os.path.join(out_dir, "pack") if "pack" in status else None,
     }

@@ -142,6 +142,7 @@ def source_cap(
     text_col: str = "text",
     source_col: str = "source",
     n_shards: int = 32,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Domain balancing: keep at most ``per_source`` documents per
     source/domain, preferring higher quality score with a deterministic
@@ -167,9 +168,19 @@ def source_cap(
         raise ValueError(f"per_source must be >= 1 (got {per_source})")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
-    q = text_analysis.quality_score(
-        df, id_col=id_col, text_col=text_col, keep=(source_col,)
-    ).select(F.col(source_col).alias("source"), "doc_id", "quality")
+    if quality_col is not None:
+        # the caller already carries a quality column (e.g. a
+        # materialized signals stage) — rank on it instead of
+        # re-running the scoring kernel over every document's text
+        q = df.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.col(quality_col).alias("quality"),
+        )
+    else:
+        q = text_analysis.quality_score(
+            df, id_col=id_col, text_col=text_col, keep=(source_col,)
+        ).select(F.col(source_col).alias("source"), "doc_id", "quality")
     order = (F.desc("quality"), F.asc("doc_id"))
     if n_shards > 1:
         w1 = Window.partitionBy("source", "_shard").orderBy(*order)
@@ -225,6 +236,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_idf: bool = True,
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """Top-k TF-IDF keywords per document — the per-doc feature the
     vocabulary statistics feed (topic tagging, keyword filters, cheap
@@ -251,8 +263,24 @@ def tfidf_top_terms(
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    idf = doc_frequency(df, id_col=id_col, text_col=text_col).select(
-        F.col("token").alias("term"), "idf"
+    # document frequency derives FROM the tf aggregate: tf has exactly
+    # one row per (doc, term), so counting rows per term equals
+    # doc_frequency's array_distinct-then-explode count. The two
+    # consumers prune tf differently, so Catalyst does NOT reuse the
+    # exchange (verified on the executed plan) — localCheckpoint makes
+    # the single tokenization pass explicit; disable to stay fully
+    # lazy at the cost of tokenizing twice
+    if materialize_tf:
+        tf = tf.localCheckpoint()
+    n = df.agg(F.count("*").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
+        )
     )
     if broadcast_idf:
         idf = F.broadcast(idf)
@@ -298,11 +326,15 @@ def paragraph_stats(
     """
     if max_occurrences < 1:
         raise ValueError(f"max_occurrences must be >= 1 (got {max_occurrences})")
+    # \Q...\E quotes the separator so F.split (a Java regex) treats it
+    # as the same LITERAL that array_join re-inserts and the DuckDB
+    # twin's string_split uses — an unquoted '|' or '. ' would
+    # regex-split per character and break the split+rejoin identity
     paras = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
-            "pidx", "para"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("pidx", "para"),
     ).withColumn("phash", F.md5("para"))
     counts = (
         paras.select("phash", "doc_id")

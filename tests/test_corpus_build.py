@@ -48,7 +48,18 @@ def test_build_corpus_resumes_after_kill(spark, tmp_path, docs_path):
     out = str(tmp_path / "killed")
     partial = corpus.build_corpus(spark, docs_path, out, stop_after="dedup")
     assert partial["stages"] == {"extract": "ran", "signals": "ran", "dedup": "ran"}
+    assert partial["final"] is None  # no pack output yet
     assert not os.path.exists(os.path.join(out, "pack"))
+    # a torn stage marker (kill mid-commit) must read as NOT committed,
+    # not crash the resume
+    with open(os.path.join(out, "_STAGE_signals.json"), "w") as f:
+        f.write('{"snapshot_id": "trunc')
+    resumed_after_torn = corpus.build_corpus(
+        spark, docs_path, out, stop_after="signals"
+    )
+    assert resumed_after_torn["stages"] == {
+        "extract": "skipped", "signals": "ran",
+    }
     resumed = corpus.build_corpus(spark, docs_path, out)
     assert resumed["stages"] == {
         "extract": "skipped",

@@ -353,3 +353,32 @@ def test_tfidf_top_terms_values_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+
+
+def test_paragraph_stats_literal_separator(spark):
+    """The separator is a LITERAL, not a regex: '|' (empty-alternation
+    as a regex) and '. ' must split/rejoin exactly, preserving the
+    identity property for any sep."""
+    rows = [(1, "a|b|c"), (2, "x. y. z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pipe = {
+        r["doc_id"]: r
+        for r in curation.paragraph_stats(df, sep="|", max_occurrences=10).collect()
+    }
+    assert pipe[1]["n_paras"] == 3 and pipe[1]["clean_text"] == "a|b|c"
+    dot = {
+        r["doc_id"]: r
+        for r in curation.paragraph_stats(df, sep=". ", max_occurrences=10).collect()
+    }
+    assert dot[2]["n_paras"] == 3 and dot[2]["clean_text"] == "x. y. z"
+
+
+def test_source_cap_quality_passthrough(spark, docs):
+    """quality_col= ranks on a precomputed column without re-scoring;
+    with the engine's own quality values the output is identical."""
+    pre = text_analysis.quality_score(docs, keep=("source",))
+    via_col = sorted(map(tuple, curation.source_cap(
+        pre, per_source=5, quality_col="quality"
+    ).collect()))
+    recomputed = sorted(map(tuple, curation.source_cap(docs, per_source=5).collect()))
+    assert via_col == recomputed
