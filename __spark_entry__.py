@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned by source; deterministic doc_id tiebreak)
         return curation.source_cap(_docs(spark, sf_dir), per_source=10)
 
+    def q_unigram_logprob(spark, sf_dir):
+        # CCNet-style LM quality proxy: mean unigram log-prob under the
+        # corpus's own token distribution (broadcast frequency table)
+        return curation.unigram_logprob(_docs(spark, sf_dir))
+
     def q_tfidf_top_terms(spark, sf_dir):
         # per-doc top-5 TF-IDF keywords; broadcast IDF (vocabulary ≪
         # corpus), deterministic rounded ranking key with term tiebreak
@@ -678,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logprob": q_unigram_logprob,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1980,6 +1986,20 @@ n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
        round(ln(n_docs / doc_freq), 6) AS idf
 FROM a, n"""
+    out["unigram_logprob"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(cnt * 1.0 / total)), 6) AS mean_logprob
+FROM toks JOIN freq USING (token), tot
+GROUP BY doc_id"""
     out["tfidf_top_terms"] = (
         "WITH tf AS (\n"
         "  SELECT doc_id, tok AS term, count(*) AS tf\n"

@@ -53,6 +53,11 @@ DEFAULTS = dict(
     budget=512,
     n_shards=8,
     jaccard_threshold=0.5,
+    # optional clean stage between extraction and the signal/dedup
+    # stages; both default OFF so the default chain (and its bit-exact
+    # oracle) is untouched
+    scrub_pii=False,
+    drop_paragraph_occurrences=None,
 )
 
 
@@ -68,6 +73,28 @@ def _extract_stage(docs: DataFrame) -> DataFrame:
         "lang",
     )
     return md.join(meta, "doc_id")
+
+
+def _clean_stage(
+    cdocs: DataFrame,
+    scrub_pii: bool,
+    drop_paragraph_occurrences: int | None,
+) -> DataFrame:
+    """Optional text-hygiene stage: drop cross-corpus boilerplate
+    paragraphs (CCNet) and/or redact PII, REPLACING the text column so
+    every downstream signal/dedup/packing stage sees cleaned text."""
+    out = cdocs
+    if drop_paragraph_occurrences is not None:
+        ps = curation.paragraph_stats(
+            out, max_occurrences=drop_paragraph_occurrences
+        ).select("doc_id", F.col("clean_text").alias("_t"))
+        out = out.join(ps, "doc_id").withColumn("text", F.col("_t")).drop("_t")
+    if scrub_pii:
+        sc = text_analysis.pii_scrub(out).select(
+            "doc_id", F.col("clean_text").alias("_t")
+        )
+        out = out.join(sc, "doc_id").withColumn("text", F.col("_t")).drop("_t")
+    return out
 
 
 def _signals_stage(cdocs: DataFrame) -> DataFrame:
@@ -154,6 +181,12 @@ def corpus_plan(docs: DataFrame, materialize: bool = True, **overrides) -> DataF
     cdocs = _extract_stage(docs)
     if materialize:
         cdocs = cdocs.localCheckpoint()
+    if cfg["scrub_pii"] or cfg["drop_paragraph_occurrences"] is not None:
+        cdocs = _clean_stage(
+            cdocs, cfg["scrub_pii"], cfg["drop_paragraph_occurrences"]
+        )
+        if materialize:
+            cdocs = cdocs.localCheckpoint()
     signals = _signals_stage(cdocs)
     clusters = _dedup_stage(cdocs, cfg["jaccard_threshold"])
     selected = _select_stage(
@@ -258,8 +291,10 @@ def build_corpus(
     from docstrange_spark.sources import manifest as mf
 
     cfg = {**DEFAULTS, **overrides}
-    if stop_after is not None and stop_after not in STAGES:
-        raise ValueError(f"stop_after must be one of {STAGES} (got {stop_after!r})")
+    clean_on = cfg["scrub_pii"] or cfg["drop_paragraph_occurrences"] is not None
+    allowed = STAGES[:1] + (("clean",) if clean_on else ()) + STAGES[1:]
+    if stop_after is not None and stop_after not in allowed:
+        raise ValueError(f"stop_after must be one of {allowed} (got {stop_after!r})")
     snapshot_id = mf.snapshot_id_of(input_path)
     config_fp = _config_fingerprint(cfg)
     run_id = uuid.uuid4().hex[:12]
@@ -284,6 +319,14 @@ def build_corpus(
     docs = spark.read.parquet(input_path)
     cdocs = run_stage("extract", lambda: _extract_stage(docs))
     done = stop_after == "extract"
+    if not done and clean_on:
+        cdocs = run_stage(
+            "clean",
+            lambda: _clean_stage(
+                cdocs, cfg["scrub_pii"], cfg["drop_paragraph_occurrences"]
+            ),
+        )
+        done = stop_after == "clean"
     if not done:
         signals = run_stage("signals", lambda: _signals_stage(cdocs))
         done = stop_after == "signals"

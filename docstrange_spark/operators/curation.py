@@ -298,6 +298,47 @@ def tfidf_top_terms(
     ).where(F.col("term_rank") <= k)
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """Language-model quality proxy (CCNet-style LM filtering, Wenzek
+    et al. 2020 — public knowledge; a corpus-unigram model stands in
+    for the KenLM the paper uses): per-document mean unigram
+    log-probability under the corpus's own token distribution. Gibberish
+    and boilerplate-stuffed documents score low (rare-token mass);
+    training pipelines drop the tail.
+
+    Scale shape: one corpus pass builds the (token, count) frequency
+    table — vocabulary-sized, so it re-joins as a BROADCAST by default
+    (``broadcast_freq=False`` for an over-large vocabulary ⇒ shuffle
+    join); the total token count joins as a broadcast scalar. Returns
+    (doc_id, n_tokens, mean_logprob) for every document with at least
+    one token (empty docs have no distribution to score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(text_analysis.nonempty_tokens(text_col)).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    freq = freq.crossJoin(F.broadcast(total))
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    return (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def paragraph_stats(
     df: DataFrame,
     id_col: str = "doc_id",

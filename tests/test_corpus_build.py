@@ -93,3 +93,39 @@ def test_build_corpus_config_change_invalidates(spark, tmp_path, docs_path):
 def test_build_corpus_rejects_unknown_stage(spark, tmp_path, docs_path):
     with pytest.raises(ValueError):
         corpus.build_corpus(spark, docs_path, str(tmp_path / "x"), stop_after="nope")
+
+
+def test_optional_clean_stage(spark, tmp_path, docs_path):
+    """scrub_pii on a PII-free corpus is the identity on the final
+    output; paragraph-dropping removes the repeated '## Part N'
+    boilerplate headers, so token counts can only shrink; the
+    materialized job gains a committed 'clean' stage that resumes."""
+    from docstrange_spark.operators import corpus
+
+    docs = spark.read.parquet(docs_path)
+    base = sorted(map(tuple, corpus.corpus_plan(docs).collect()))
+    scrubbed = sorted(map(tuple, corpus.corpus_plan(docs, scrub_pii=True).collect()))
+    assert scrubbed == base  # synthetic corpus carries no PII
+
+    cleaned = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus.corpus_plan(
+            docs, drop_paragraph_occurrences=1
+        ).collect()
+    }
+    base_toks = {t[0]: t[7] for t in base}  # doc_id -> n_tokens
+    assert all(
+        cleaned[d] <= base_toks[d] for d in cleaned if d in base_toks
+    )
+
+    out = str(tmp_path / "with_clean")
+    s = corpus.build_corpus(spark, docs_path, out, scrub_pii=True)
+    assert s["stages"]["clean"] == "ran" and s["stages"]["pack"] == "ran"
+    again = corpus.build_corpus(spark, docs_path, out, scrub_pii=True)
+    assert again["stages"]["clean"] == "skipped"
+    # stop_after="clean" only valid when the stage is enabled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.build_corpus(spark, docs_path, str(tmp_path / "x"),
+                            stop_after="clean")

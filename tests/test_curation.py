@@ -382,3 +382,24 @@ def test_source_cap_quality_passthrough(spark, docs):
     ).collect()))
     recomputed = sorted(map(tuple, curation.source_cap(docs, per_source=5).collect()))
     assert via_col == recomputed
+
+
+def test_unigram_logprob_values_and_plan(spark):
+    """Hand-checkable: in a 4-token corpus 'a a a b', P(a)=3/4 and
+    P(b)=1/4; doc means follow; rare-token docs score lower; empty docs
+    are absent; frequency table broadcasts."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in curation.unigram_logprob(df).collect()}
+    assert set(got) == {1, 2}
+    pa, pb = math.log(3 / 4), math.log(1 / 4)
+    assert abs(got[1]["mean_logprob"] - round(pa, 6)) < 1e-6
+    assert abs(got[2]["mean_logprob"] - round((pa + pb) / 2, 6)) < 1e-6
+    assert got[1]["n_tokens"] == 2
+    # common-token doc scores higher than rare-token doc
+    assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
+    plan = curation.unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
