@@ -363,6 +363,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus), deterministic rounded ranking key with term tiebreak
         return curation.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
+    def q_quality_bins(spark, sf_dir):
+        # CCNet head/middle/tail per-language quality buckets via the
+        # scale-safe histogram-threshold construction (no per-lang sort)
+        return curation.quality_bins(_docs(spark, sf_dir), n_bins=100)
+
+    def q_dsir_weights(spark, sf_dir):
+        # DSIR hashed-bigram importance log-weights; target slice =
+        # the English documents, raw = the whole corpus
+        docs = _docs(spark, sf_dir).withColumn(
+            "is_target", F.col("lang") == F.lit("en")
+        )
+        return curation.dsir_weights(docs, n_buckets=1024)
+
+    def q_epoch_order(spark, sf_dir):
+        # deterministic epoch-1 training order: sharded md5 permutation,
+        # row_number windows partitioned by shard (no global sort)
+        return curation.epoch_order(
+            _docs(spark, sf_dir), epoch=1, n_shards=16
+        )
+
     def q_pii_scrub(spark, sf_dir):
         # PII hygiene pass. The synthetic corpus is PII-free, so the
         # query plants deterministic doc_id-derived PII (an email, an
@@ -684,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
+        "quality_bins": q_quality_bins,
+        "dsir_weights": q_dsir_weights,
+        "epoch_order": q_epoch_order,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -2023,6 +2046,105 @@ GROUP BY doc_id"""
         "       CAST(term_rank AS BIGINT) AS term_rank\n"
         "FROM r WHERE term_rank <= 5"
     )
+    # CCNet head/middle/tail buckets: same histogram-threshold
+    # construction as curation.quality_bins (n_bins=100, thirds)
+    out["quality_bins"] = (
+        "WITH scored AS (\n"
+        "  SELECT s.doc_id, d.lang, s.n_tokens, s.mean_logprob\n"
+        "  FROM (" + out["unigram_logprob"] + ") s\n"
+        "  JOIN documents d USING (doc_id)\n"
+        "),\n"
+        "stats AS (\n"
+        "  SELECT lang, min(mean_logprob) AS lo, max(mean_logprob) AS hi,\n"
+        "         count(*) AS n_lang\n"
+        "  FROM scored GROUP BY lang\n"
+        "),\n"
+        "binned AS (\n"
+        "  SELECT scored.*, stats.n_lang,\n"
+        "         CAST(CASE WHEN hi = lo THEN 0\n"
+        "              ELSE least(99, floor((mean_logprob - lo)\n"
+        "                                   / ((hi - lo) / 100.0)))\n"
+        "              END AS BIGINT) AS bin\n"
+        "  FROM scored JOIN stats USING (lang)\n"
+        "),\n"
+        "hist AS (\n"
+        "  SELECT lang, bin, count(*) AS cnt, max(n_lang) AS n_lang\n"
+        "  FROM binned GROUP BY lang, bin\n"
+        "),\n"
+        "cum AS (\n"
+        "  SELECT lang, bin, n_lang,\n"
+        "         sum(cnt) OVER (PARTITION BY lang ORDER BY bin\n"
+        "                        ROWS UNBOUNDED PRECEDING) AS cum\n"
+        "  FROM hist\n"
+        "),\n"
+        "edges AS (\n"
+        "  SELECT lang,\n"
+        "         min(CASE WHEN cum >= ceil(n_lang * 0.3333333333333333)\n"
+        "                  THEN bin END) AS tail_edge,\n"
+        "         min(CASE WHEN cum >= ceil(n_lang * 0.6666666666666667)\n"
+        "                  THEN bin END) AS head_edge\n"
+        "  FROM cum GROUP BY lang\n"
+        ")\n"
+        "SELECT doc_id, lang, n_tokens, mean_logprob, bin,\n"
+        "       CASE WHEN bin > head_edge THEN 'head'\n"
+        "            WHEN bin <= tail_edge AND tail_edge < head_edge THEN 'tail'\n"
+        "            ELSE 'middle' END AS bucket\n"
+        "FROM binned JOIN edges USING (lang)"
+    )
+    # DSIR hashed-bigram importance weights (target = English docs);
+    # bucket ids via the portable 28-bit md5 prefix, Laplace smoothing 1
+    out["dsir_weights"] = r"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_target,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2])
+              ELSE []::VARCHAR[] END AS grams
+  FROM t
+),
+b AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(gram), 1, 7))::BIGINT % 1024 AS bucket
+  FROM (SELECT doc_id, is_target, unnest(grams) AS gram FROM g)
+),
+raw AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS t_cnt FROM b WHERE is_target GROUP BY bucket),
+c AS (
+  SELECT raw.bucket, r_cnt, coalesce(t_cnt, 0) AS t_cnt
+  FROM raw LEFT JOIN tgt USING (bucket)
+),
+tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM c),
+w AS (
+  SELECT bucket,
+         ln((t_cnt + 1.0) / (t_tot + 1024.0))
+         - ln((r_cnt + 1.0) / (r_tot + 1024.0)) AS lw
+  FROM c, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(sum(lw), 6) AS dsir_logweight
+FROM b JOIN w USING (bucket)
+GROUP BY doc_id"""
+    # deterministic epoch shuffle: md5 sort key, shard = key % 16,
+    # row_number within shard (epoch=1, seed='epoch')
+    out["epoch_order"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch|1|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           AS sort_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS epoch,
+       CAST(sort_key % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY sort_key % 16
+                               ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+       sort_key
+FROM t"""
     out["lang_eval"] = (
         "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n\n"
         "FROM documents d JOIN (" + out["lang_id"] + ") g USING (doc_id)\n"

@@ -444,3 +444,237 @@ def stratified_sample(
     for k, v in sorted((fractions or {}).items()):
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
     return df.withColumn("sample_u", F.round(u, 6)).where(u < frac)
+
+
+def quality_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_bins: int = 1000,
+    tail_frac: float = 1.0 / 3.0,
+    head_frac: float = 1.0 / 3.0,
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """CCNet-style per-language quality binning (Wenzek et al. 2020 —
+    public knowledge): score every document with the LM quality proxy
+    (``unigram_logprob``), then label it ``head`` / ``middle`` /
+    ``tail`` within its language. CCNet trains only on head+middle;
+    the tail is the low-quality discard pile.
+
+    Exact per-language tertiles would need a total order per language —
+    a single-task sort when one language is most of a web crawl. This
+    uses the scale-safe histogram construction instead: per-language
+    ``n_bins`` fixed-width bins over the score range (one tiny
+    aggregation), a cumulative sum over the ≤ ``n_bins`` histogram rows
+    per language (a window over a vocabulary-sized table, never over
+    documents), and two bin-edge thresholds broadcast back. Cutoffs are
+    bin-granular — the same granularity CCNet accepts by computing its
+    cutoffs on a sample — and every step is deterministic, so the whole
+    construction has a bit-exact DuckDB twin.
+
+    Threshold rule (deterministic): with per-language doc count ``n``,
+    ``tail_edge`` is the smallest bin whose cumulative count reaches
+    ``ceil(n * tail_frac)`` and ``head_edge`` the smallest reaching
+    ``ceil(n * (1 - head_frac))``; a document is ``head`` above
+    ``head_edge``, ``tail`` at-or-below ``tail_edge`` (only when the
+    two edges are distinct — a collapsed distribution yields all
+    ``middle``), else ``middle``.
+    """
+    scored = unigram_logprob(df, id_col, text_col, broadcast_freq).join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+        ),
+        "doc_id",
+    )
+    stats = scored.groupBy("lang").agg(
+        F.min("mean_logprob").alias("lo"),
+        F.max("mean_logprob").alias("hi"),
+        F.count("*").cast("long").alias("n_lang"),
+    )
+    s = scored.join(F.broadcast(stats), "lang")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    binned = s.withColumn(
+        "bin",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("mean_logprob") - F.col("lo")) / width),
+            )
+        )
+        .cast("long"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("cnt"), F.max("n_lang").alias("n_lang")
+    )
+    wcum = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    edges = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n_lang") * F.lit(float(tail_frac))),
+                F.col("bin"),
+            )
+        ).alias("tail_edge"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.col("n_lang") * F.lit(1.0 - float(head_frac))),
+                F.col("bin"),
+            )
+        ).alias("head_edge"),
+    )
+    out = binned.join(F.broadcast(edges), "lang")
+    bucket = (
+        F.when(F.col("bin") > F.col("head_edge"), F.lit("head"))
+        .when(
+            (F.col("bin") <= F.col("tail_edge"))
+            & (F.col("tail_edge") < F.col("head_edge")),
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_logprob",
+        F.col("bin"),
+        bucket.alias("bucket"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023 —
+    public knowledge): score every document by how much more likely its
+    hashed-bigram profile is under a *target* distribution (the rows
+    where ``target_col`` is true — e.g. a trusted high-quality slice)
+    than under the raw-corpus distribution. Pipelines resample the raw
+    pool proportionally to these weights to shift its distribution
+    toward the target.
+
+    Features are whitespace bigrams hashed into ``n_buckets`` buckets
+    with the engine's portable 28-bit md5 prefix (no engine-specific
+    hash, so the DuckDB oracle reproduces every bucket id bit-exactly).
+    Per-bucket log-ratios use Laplace ``smoothing``. A document's
+    ``dsir_logweight`` is the sum of its bigram occurrences'
+    log-ratios — the log importance weight of the bag-of-hashed-ngrams
+    model.
+
+    Scale shape: two bucket-sized aggregations (map-side partial
+    combine), a bucket-keyed weight table of ``n_buckets`` rows that
+    re-joins as a BROADCAST (``broadcast_weights=False`` for an
+    over-large bucket count ⇒ shuffle join), one per-doc aggregation.
+    No shuffle carries text. Documents with fewer than two tokens have
+    no bigram profile and are omitted (same contract as
+    ``unigram_logprob``).
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_col).cast("boolean").alias("is_target"),
+        text_analysis.nonempty_tokens(text_col).alias("toks"),
+    )
+    n = F.size("toks")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = t.select(
+        "doc_id",
+        "is_target",
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (_md5_long28(F.col("gram")) % F.lit(n_buckets)).alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count("*").cast("long").alias("r_cnt"))
+    tgt = (
+        b.where(F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("t_cnt"))
+    )
+    counts = raw.join(tgt, "bucket", "left").select(
+        "bucket", "r_cnt", F.coalesce(F.col("t_cnt"), F.lit(0)).alias("t_cnt")
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    sm = F.lit(float(smoothing))
+    smb = F.lit(float(smoothing) * n_buckets)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + sm) / (F.col("t_tot") + smb))
+            - F.log((F.col("r_cnt") + sm) / (F.col("r_tot") + smb))
+        ).alias("lw"),
+    )
+    if broadcast_weights:
+        weights = F.broadcast(weights)
+    return (
+        b.join(weights, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("lw"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 64,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch training order — the global-shuffle a
+    training run needs without a global sort. Every document gets an
+    integer sort key ``md5(seed|epoch|id)`` (a fresh pseudo-random
+    permutation each epoch, identical across runs and machines), a
+    shard ``key % n_shards``, and its position within the shard
+    (``row_number`` ordered by key). The consumer reads shards in
+    order (or round-robins them): within-shard order is random and
+    shard assignment is random, which is exactly the sharded-shuffle
+    contract large training jobs use (a true global permutation would
+    serialize on one sorting task).
+
+    Scale shape: one projection plus a window PARTITIONED by shard —
+    each shard sorts ~n/``n_shards`` rows and ``n_shards`` scales with
+    the cluster. Pure integer md5 arithmetic: the DuckDB oracle is
+    bit-exact.
+    """
+    key = _md5_long28(
+        F.concat_ws(
+            "|", F.lit(seed), F.lit(str(int(epoch))), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(int(epoch)).cast("long").alias("epoch"),
+            key.alias("sort_key"),
+        )
+        .withColumn("shard", (F.col("sort_key") % F.lit(int(n_shards))).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "epoch", "shard", "pos", "sort_key")
+    )

@@ -403,3 +403,84 @@ def test_unigram_logprob_values_and_plan(spark):
     assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
     plan = curation.unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_bins_thirds_and_ordering(docs):
+    """Bucket fractions are third-ish (bin-granular, CCNet's own
+    tolerance) and the score ordering head > middle > tail holds
+    within every language."""
+    out = curation.quality_bins(docs, n_bins=100).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(out) > 0
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        if n < 30:
+            continue  # too few docs for fraction assertions
+        frac = {b: sum(1 for r in rows if r["bucket"] == b) / n
+                for b in ("head", "middle", "tail")}
+        # bin-granular cutoffs on a lumpy synthetic distribution put
+        # the whole cutoff bin on one side, so "thirds" is loose
+        for b in ("head", "middle", "tail"):
+            assert 0.08 < frac[b] < 0.65, (lang, frac)
+        # every head score >= every tail score (bin-granular cutoffs)
+        min_head = min(r["mean_logprob"] for r in rows if r["bucket"] == "head")
+        max_tail = max(r["mean_logprob"] for r in rows if r["bucket"] == "tail")
+        assert min_head >= max_tail
+
+
+def test_quality_bins_degenerate_lang_all_middle(spark):
+    # every doc identical -> one histogram bin -> edges collapse ->
+    # nothing is labeled head or tail
+    rows = [(i, "same same text", "xx") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curation.quality_bins(df, n_bins=100).collect()
+    assert len(out) == 20
+    assert all(r["bucket"] == "middle" for r in out)
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs drawn from the target slice's vocabulary must score higher
+    than docs from a disjoint vocabulary — the defining DSIR property."""
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    other_text = "zig zag zog zug zig zag zog zug"
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        # raw pool: 5 target-like, 5 alien docs (not marked target)
+        + [(100 + i, target_text, False) for i in range(5)]
+        + [(200 + i, other_text, False) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    w = {r["doc_id"]: r["dsir_logweight"]
+         for r in curation.dsir_weights(df, n_buckets=256).collect()}
+    target_like = [w[100 + i] for i in range(5)]
+    alien = [w[200 + i] for i in range(5)]
+    assert min(target_like) > max(alien)
+    # a doc with < 2 tokens has no bigram profile and is omitted
+    df2 = df.union(
+        spark.createDataFrame([(999, "solo", False)],
+                              "doc_id long, text string, is_target boolean")
+    )
+    w2 = curation.dsir_weights(df2, n_buckets=256)
+    assert w2.where(F.col("doc_id") == 999).count() == 0
+
+
+def test_epoch_order_permutation_properties(docs):
+    n = docs.count()
+    e1 = curation.epoch_order(docs, epoch=1, n_shards=8).collect()
+    assert len(e1) == n  # a permutation: every doc placed exactly once
+    assert len({r["doc_id"] for r in e1}) == n
+    # positions are contiguous 1..len(shard) within every shard
+    by_shard = {}
+    for r in e1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # deterministic across runs; different epochs draw different orders
+    e1b = curation.epoch_order(docs, epoch=1, n_shards=8).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    e2 = curation.epoch_order(docs, epoch=2, n_shards=8).collect()
+    k1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1}
+    k2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e2}
+    assert k1 != k2
