@@ -455,6 +455,7 @@ def quality_bins(
     tail_frac: float = 1.0 / 3.0,
     head_frac: float = 1.0 / 3.0,
     broadcast_freq: bool = True,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style per-language quality binning (Wenzek et al. 2020 —
     public knowledge): score every document with the LM quality proxy
@@ -480,13 +481,22 @@ def quality_bins(
     ``head_edge``, ``tail`` at-or-below ``tail_edge`` (only when the
     two edges are distinct — a collapsed distribution yields all
     ``middle``), else ``middle``.
+
+    The scored table feeds several branches (stats, histogram, output);
+    the self-contained form re-derives it per branch and leans on AQE
+    exchange reuse. A production pipeline passes ``scored=`` a
+    MATERIALIZED (doc_id, lang, n_tokens, mean_logprob) table — the LM
+    scoring pass then runs exactly once and every downstream branch is
+    an aggregation or broadcast join over it (the same
+    contract-vs-materialized split as search vs search_materialized).
     """
-    scored = unigram_logprob(df, id_col, text_col, broadcast_freq).join(
-        df.select(
-            F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
-        ),
-        "doc_id",
-    )
+    if scored is None:
+        scored = unigram_logprob(df, id_col, text_col, broadcast_freq).join(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+            ),
+            "doc_id",
+        )
     stats = scored.groupBy("lang").agg(
         F.min("mean_logprob").alias("lo"),
         F.max("mean_logprob").alias("hi"),
@@ -606,14 +616,14 @@ def dsir_weights(
         "is_target",
         (_md5_long28(F.col("gram")) % F.lit(n_buckets)).alias("bucket"),
     )
-    raw = b.groupBy("bucket").agg(F.count("*").cast("long").alias("r_cnt"))
-    tgt = (
-        b.where(F.col("is_target"))
-        .groupBy("bucket")
-        .agg(F.count("*").cast("long").alias("t_cnt"))
-    )
-    counts = raw.join(tgt, "bucket", "left").select(
-        "bucket", "r_cnt", F.coalesce(F.col("t_cnt"), F.lit(0)).alias("t_cnt")
+    # raw and target counts in ONE pass over the bucket table (a
+    # conditional sum, not a second aggregation + anti-join): the
+    # expensive exploded table is scanned once for both distributions
+    counts = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("r_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("t_cnt"),
     )
     totals = counts.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")

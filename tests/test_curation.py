@@ -484,3 +484,18 @@ def test_epoch_order_permutation_properties(docs):
     k1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1}
     k2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e2}
     assert k1 != k2
+
+
+def test_quality_bins_materialized_scored_identical(spark, docs, tmp_path):
+    """The production path (pre-materialized scored table) must produce
+    exactly the self-contained contract output."""
+    inline = sorted(map(tuple, curation.quality_bins(docs, n_bins=100).collect()))
+    sc = curation.unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    p = str(tmp_path / "scored")
+    sc.write.parquet(p)
+    mat = curation.quality_bins(
+        docs, n_bins=100, scored=spark.read.parquet(p)
+    )
+    assert sorted(map(tuple, mat.collect())) == inline
