@@ -383,6 +383,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), epoch=1, n_shards=16
         )
 
+    def q_fineweb_filters(spark, sf_dir):
+        # composed FineWeb/C4/Gopher heuristic filter chain: one wide
+        # projection, keep/drop verdict + failed-rule list per doc
+        return text_analysis.fineweb_filters(_docs(spark, sf_dir))
+
+    def q_score_quantiles(spark, sf_dir):
+        # histogram-sketch quartiles of document length per language
+        # (bin-lower-edge rule, bit-exact in both engines)
+        return curation.score_quantiles(
+            _docs(spark, sf_dir),
+            "n_chars",
+            quantiles=(0.25, 0.5, 0.75),
+            group_col="lang",
+            n_bins=100,
+        )
+
+    def q_corpus_report(spark, sf_dir):
+        # one-row corpus health rollup incl. exact-duplicate rate
+        return curation.corpus_report(_docs(spark, sf_dir))
+
     def q_pii_scrub(spark, sf_dir):
         # PII hygiene pass. The synthetic corpus is PII-free, so the
         # query plants deterministic doc_id-derived PII (an email, an
@@ -707,6 +727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bins": q_quality_bins,
         "dsir_weights": q_dsir_weights,
         "epoch_order": q_epoch_order,
+        "fineweb_filters": q_fineweb_filters,
+        "score_quantiles": q_score_quantiles,
+        "corpus_report": q_corpus_report,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -2129,6 +2152,127 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        round(sum(lw), 6) AS dsir_logweight
 FROM b JOIN w USING (bucket)
 GROUP BY doc_id"""
+    # FineWeb/C4/Gopher filter chain: rounded signals, threshold
+    # verdicts, sorted comma-joined reason list (twin of
+    # text_analysis.fineweb_filters defaults)
+    out["fineweb_filters"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2])
+              ELSE []::VARCHAR[] END AS grams
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         round(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)
+               ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN len(grams) > 0
+               THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+               ELSE 0.0 END, 6) AS dup_2gram_frac,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x = list_aggregate(toks, 'mode')))
+                    / len(toks)
+               ELSE 0.0 END, 6) AS top_word_frac
+  FROM g
+),
+r AS (
+  SELECT *,
+         coalesce(array_to_string(list_sort(list_filter([
+           CASE WHEN n_words < 20 THEN 'too_few_words' END,
+           CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+           CASE WHEN n_words > 0 AND mean_word_len < 2.0 THEN 'short_words' END,
+           CASE WHEN mean_word_len > 12.0 THEN 'long_words' END,
+           CASE WHEN dup_2gram_frac > 0.2 THEN 'repetitive_2grams' END,
+           CASE WHEN top_word_frac > 0.3 THEN 'dominant_word' END
+         ], x -> x IS NOT NULL)), ','), '') AS reasons
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, dup_2gram_frac, top_word_frac,
+       reasons, (reasons = '') AS keep
+FROM r"""
+    # histogram-sketch quartiles of n_chars per lang (n_bins=100,
+    # bin-lower-edge rule — twin of curation.score_quantiles)
+    out["score_quantiles"] = r"""
+WITH t AS (
+  SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+stats AS (
+  SELECT grp, min(v) AS lo, max(v) AS hi, count(*) AS n
+  FROM t GROUP BY grp
+),
+b AS (
+  SELECT t.grp,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(99, floor((v - lo) / ((hi - lo) / 100.0)))
+              END AS BIGINT) AS bin
+  FROM t JOIN stats USING (grp)
+),
+hist AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin),
+cum AS (
+  SELECT grp, bin,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+edges AS (
+  SELECT cum.grp,
+         min(CASE WHEN cum >= ceil(n * 0.25) THEN bin END) AS b0,
+         min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS b1,
+         min(CASE WHEN cum >= ceil(n * 0.75) THEN bin END) AS b2
+  FROM cum JOIN stats USING (grp) GROUP BY cum.grp
+),
+j AS (SELECT * FROM edges JOIN stats USING (grp))
+SELECT grp, CAST(0.25 AS DOUBLE) AS q,
+       round(lo + b0 * ((hi - lo) / 100.0), 6) AS approx_value,
+       CAST(n AS BIGINT) AS n FROM j
+UNION ALL
+SELECT grp, CAST(0.5 AS DOUBLE), round(lo + b1 * ((hi - lo) / 100.0), 6),
+       CAST(n AS BIGINT) FROM j
+UNION ALL
+SELECT grp, CAST(0.75 AS DOUBLE), round(lo + b2 * ((hi - lo) / 100.0), 6),
+       CAST(n AS BIGINT) FROM j"""
+    # one-row corpus rollup (twin of curation.corpus_report)
+    out["corpus_report"] = r"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '')) AS nw,
+         length(coalesce(text, '')) AS nc,
+         md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         sum(nw) AS total_words,
+         sum(nc) AS total_chars,
+         round(sum(nw) / count(*), 6) AS mean_words
+  FROM base
+),
+d AS (
+  SELECT coalesce(sum(c), 0) AS exact_dup_docs
+  FROM (SELECT fp, count(*) AS c FROM base GROUP BY fp) WHERE c > 1
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(total_words AS BIGINT) AS total_words,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       mean_words,
+       CAST(exact_dup_docs AS BIGINT) AS exact_dup_docs,
+       round(exact_dup_docs / n_docs, 6) AS exact_dup_frac
+FROM s, d"""
     # deterministic epoch shuffle: md5 sort key, shard = key % 16,
     # row_number within shard (epoch=1, seed='epoch')
     out["epoch_order"] = r"""

@@ -595,22 +595,10 @@ def dsir_weights(
         F.col(target_col).cast("boolean").alias("is_target"),
         text_analysis.nonempty_tokens(text_col).alias("toks"),
     )
-    n = F.size("toks")
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     b = t.select(
         "doc_id",
         "is_target",
-        F.explode(grams).alias("gram"),
+        F.explode(text_analysis.bigrams("toks")).alias("gram"),
     ).select(
         "doc_id",
         "is_target",
@@ -687,4 +675,146 @@ def epoch_order(
         .withColumn("shard", (F.col("sort_key") % F.lit(int(n_shards))).cast("long"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "epoch", "shard", "pos", "sort_key")
+    )
+
+
+def score_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple = (0.25, 0.5, 0.75),
+    group_col: str | None = None,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Distributed quantile sketch over any numeric column, optionally
+    per group — the corpus-statistics primitive behind threshold
+    picking (quality cutoffs, length caps, packing budgets). Exact
+    quantiles need a total order; this is the histogram sketch (the
+    same construction as ``quality_bins``): per-group fixed-width bins
+    over the value range, a cumulative walk over the ≤ ``n_bins``
+    histogram rows, and the quantile reported as its bin's LOWER edge —
+    deterministic, error bounded by (max-min)/``n_bins``, and unlike
+    ``percentile_approx`` reproducible bit-for-bit in the DuckDB twin.
+
+    Scale shape: one tiny per-group min/max/count aggregation broadcast
+    back, one map-side-combined histogram aggregation over the rows, a
+    window over histogram rows only, never over documents. Returns one
+    row per (group, quantile): (grp, q, approx_value, n).
+    """
+    qs = sorted(float(q) for q in quantiles)
+    if not qs or qs[0] <= 0 or qs[-1] >= 1:
+        raise ValueError("quantiles must lie strictly inside (0, 1)")
+    g = (F.col(group_col) if group_col else F.lit("all")).cast("string")
+    t = df.select(
+        g.alias("grp"), F.col(value_col).cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    stats = t.groupBy("grp").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    b = t.join(F.broadcast(stats), "grp").withColumn(
+        "bin",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                ),
+            )
+        )
+        .cast("long"),
+    )
+    hist = b.groupBy("grp", "bin").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.max("n").alias("n"),
+    )
+    wcum = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    edges = cum.groupBy("grp").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("n") * F.lit(q)), F.col("bin")
+                )
+            ).alias(f"qb_{i}")
+            for i, q in enumerate(qs)
+        ],
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.max("n").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"), F.col(f"qb_{i}").alias("qbin")
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+    ).alias("p")
+    return edges.select("grp", "lo", "hi", "n", pairs).select(
+        "grp",
+        F.col("p.q").alias("q"),
+        F.round(F.col("lo") + F.col("p.qbin") * width, 6).alias(
+            "approx_value"
+        ),
+        "n",
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus health summary — the dashboard numbers a corpus
+    owner checks after every build: document/language/source counts,
+    token and character volume, and the exact-duplicate rate (docs
+    sharing a normalized-text fingerprint with at least one other doc).
+
+    Two aggregations: a global rollup (map-side combined) and a
+    fingerprint groupBy for the dup count, joined as broadcast scalars.
+    Nothing here holds more than a handful of rows after the combines.
+    """
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        F.size(text_analysis.nonempty_tokens(text_col)).cast("long").alias("nw"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("nc"),
+        F.md5(norm).alias("fp"),
+    )
+    summary = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("nw").cast("long").alias("total_words"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        # exact-integer sum / count, divided once — not a streaming
+        # double mean, whose accumulation order differs across engines
+        F.round(F.sum("nw") / F.count("*"), 6).alias("mean_words"),
+    )
+    dups = (
+        base.groupBy("fp")
+        .agg(F.count("*").cast("long").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("exact_dup_docs"))
+    )
+    out = summary.crossJoin(F.broadcast(dups))
+    return out.select(
+        "*",
+        F.round(F.col("exact_dup_docs") / F.col("n_docs"), 6).alias(
+            "exact_dup_frac"
+        ),
     )

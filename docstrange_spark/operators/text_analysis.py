@@ -224,6 +224,28 @@ def winnow_fingerprints(
     )
 
 
+def bigrams(toks_col):
+    """Whitespace-bigram array from a token-array column (empty for
+    fewer than two tokens) — the shared feature extractor for the
+    Gopher repetition signals, DSIR hashing, and the filter chain.
+    DuckDB twin: ``list_transform(range(len(toks)-1),
+    i -> toks[i+1] || ' ' || toks[i+2])``."""
+    col = toks_col if not isinstance(toks_col, str) else F.col(toks_col)
+    n = F.size(col)
+    return (
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(col, i + 1), F.element_at(col, i + 2)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def _mode_count(arr):
     """Occurrence count of the most frequent element of ``arr`` — the
     longest run of equal adjacent values in the sorted array, folded
@@ -266,24 +288,7 @@ def repetition_stats(
     t = df.select(
         F.col(id_col).alias("doc_id"), nonempty_tokens(text_col).alias("toks")
     )
-    n = F.size("toks")
-    g = t.select(
-        "doc_id",
-        "toks",
-        F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(0), n - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
-    )
+    g = t.select("doc_id", "toks", bigrams("toks").alias("grams"))
     n_g = F.size("grams")
 
     def _fracs(col: str, n_col, prefix: str):
@@ -304,4 +309,104 @@ def repetition_stats(
         F.size("toks").cast("long").alias("n_words"),
         *_fracs("toks", F.size("toks"), "word"),
         *_fracs("grams", n_g, "2gram"),
+    )
+
+
+def fineweb_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_2gram_frac: float = 0.2,
+    max_top_word_frac: float = 0.3,
+) -> DataFrame:
+    """The composed heuristic filter chain a FineWeb/C4/Gopher-style
+    pipeline runs as its first pass (Penedo et al. 2024, Raffel et al.
+    2020, Rae et al. 2021 — all public): word-count bounds, mean word
+    length bounds, and the Gopher repetition caps, evaluated together
+    so a user gets one keep/drop decision with the failed-rule list.
+
+    One wide projection over the scan — every signal is an array fold
+    over the token array (shared extractors with ``repetition_stats``),
+    zero shuffles, zero Python, so the chain composes into any corpus
+    build without adding an exchange. Decisions compare the ROUNDED
+    signal (6 dp) against the threshold so the DuckDB twin reaches
+    bit-identical verdicts. ``reasons`` is the sorted comma-joined rule
+    list ('' when kept); degenerate docs (no words) fail only the
+    word-count rule — ratio rules are vacuous on an empty profile.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"), nonempty_tokens(text_col).alias("toks")
+    )
+    g = t.select("doc_id", "toks", bigrams("toks").alias("grams"))
+    n = F.size("toks")
+    n_g = F.size("grams")
+    mwl = F.round(
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.col("toks"), F.lit(0), lambda a, x: a + F.length(x)
+            )
+            / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    dup2 = F.round(
+        F.when(n_g > 0, (n_g - F.size(F.array_distinct("grams"))) / n_g)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    topw = F.round(
+        F.when(n > 0, _mode_count(F.col("toks")) / n).otherwise(F.lit(0.0)), 6
+    )
+    sig = g.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        dup2.alias("dup_2gram_frac"),
+        topw.alias("top_word_frac"),
+    )
+    checks = [
+        (F.col("n_words") < min_words, "too_few_words"),
+        (F.col("n_words") > max_words, "too_many_words"),
+        (
+            (F.col("n_words") > 0)
+            & (F.col("mean_word_len") < F.lit(float(min_mean_word_len))),
+            "short_words",
+        ),
+        (
+            F.col("mean_word_len") > F.lit(float(max_mean_word_len)),
+            "long_words",
+        ),
+        (
+            F.col("dup_2gram_frac") > F.lit(float(max_dup_2gram_frac)),
+            "repetitive_2grams",
+        ),
+        (
+            F.col("top_word_frac") > F.lit(float(max_top_word_frac)),
+            "dominant_word",
+        ),
+    ]
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    *[F.when(cond, F.lit(name)) for cond, name in checks]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "dup_2gram_frac",
+        "top_word_frac",
+        reasons.alias("reasons"),
+        (reasons == F.lit("")).alias("keep"),
     )

@@ -499,3 +499,79 @@ def test_quality_bins_materialized_scored_identical(spark, docs, tmp_path):
         docs, n_bins=100, scored=spark.read.parquet(p)
     )
     assert sorted(map(tuple, mat.collect())) == inline
+
+
+def test_fineweb_filters_rules_and_plan(spark):
+    good = "the quick brown fox jumps over the lazy dog and then runs far " \
+           "away into the green hills while birds sing overhead today " # 21 words
+    spammy = "buy now " * 40                      # dominated by one 2-gram
+    tiny = "just three words"
+    df = spark.createDataFrame(
+        [(0, good), (1, spammy), (2, tiny), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           __import__("docstrange_spark.operators.text_analysis",
+                      fromlist=["x"]).fineweb_filters(df).collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    assert not out[1]["keep"]
+    assert "repetitive_2grams" in out[1]["reasons"]
+    assert not out[2]["keep"] and "too_few_words" in out[2]["reasons"]
+    # empty doc: word-count rule only — ratio rules are vacuous
+    assert out[3]["reasons"] == "too_few_words"
+    plan = (
+        __import__("docstrange_spark.operators.text_analysis",
+                   fromlist=["x"]).fineweb_filters(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one wide projection, zero shuffles
+
+
+def test_score_quantiles_bounds_and_degenerate(spark, docs):
+    out = curation.score_quantiles(
+        docs, "n_chars", quantiles=(0.25, 0.5, 0.75), group_col="lang",
+        n_bins=100,
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], {})[r["q"]] = r["approx_value"]
+    import math
+
+    vals = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    for grp, qs in by_grp.items():
+        # quantile estimates are monotone in q
+        assert qs[0.25] <= qs[0.5] <= qs[0.75]
+        # each estimate is within one bin width BELOW its target order
+        # statistic (the bin-lower-edge rule's error contract)
+        v = sorted(vals[grp])
+        width = (v[-1] - v[0]) / 100.0
+        for q in (0.25, 0.5, 0.75):
+            target = v[math.ceil(q * len(v)) - 1]
+            assert target - width - 1e-9 <= qs[q] <= target + 1e-9, (grp, q, qs)
+    # degenerate group: every value identical -> all quantiles = value
+    one = spark.createDataFrame(
+        [(i, 42) for i in range(10)], "doc_id long, v long"
+    )
+    vals = {r["q"]: r["approx_value"]
+            for r in curation.score_quantiles(one, "v").collect()}
+    assert set(vals.values()) == {42.0}
+    with pytest.raises(ValueError):
+        curation.score_quantiles(one, "v", quantiles=(0.0, 0.5))
+
+
+def test_corpus_report_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s0"),
+            (1, "alpha  beta", "en", "s0"),   # dup of 0 after ws-normalize
+            (2, "gamma delta epsilon", "fr", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = curation.corpus_report(df).collect()[0]
+    assert r["n_docs"] == 3 and r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["total_words"] == 2 + 2 + 3
+    assert r["exact_dup_docs"] == 2  # both members of the dup pair
+    assert abs(r["exact_dup_frac"] - round(2 / 3, 6)) < 1e-9
