@@ -403,6 +403,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-row corpus health rollup incl. exact-duplicate rate
         return curation.corpus_report(_docs(spark, sf_dir))
 
+    def q_quality_classifier(spark, sf_dir):
+        # distributed logistic regression (3 GD iterations as pure
+        # aggregations, micro-unit-exact gradients) predicting
+        # lang='en' from the heuristic quality features
+        from docstrange_spark.operators import classifier
+
+        return classifier.quality_classifier(
+            _docs(spark, sf_dir), F.col("lang") == F.lit("en")
+        )
+
     def q_pii_scrub(spark, sf_dir):
         # PII hygiene pass. The synthetic corpus is PII-free, so the
         # query plants deterministic doc_id-derived PII (an email, an
@@ -730,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fineweb_filters": q_fineweb_filters,
         "score_quantiles": q_score_quantiles,
         "corpus_report": q_corpus_report,
+        "quality_classifier": q_quality_classifier,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1187,6 +1198,73 @@ _VERIFIED_CTE = """verified AS (
 )"""
 
 
+def _logreg_sql(iters: int = 3, lr: float = 0.5) -> str:
+    """Twin of classifier.quality_classifier (label lang='en'): the
+    gradient-descent iterations UNROLLED as SQL CTEs. Per iteration the
+    gradient sums are exact integers (micro-unit rounding, matching the
+    Spark side bit-for-bit) and the weight recurrence repeats the
+    driver's double arithmetic on identical operands."""
+    feat_cols = ["f1", "f2", "f3"]
+    wcols = ["wb"] + [f"w{j+1}" for j in range(len(feat_cols))]
+    z = "wb + w1*f1 + w2*f2 + w3*f3"
+    sig = f"1.0/(1.0+exp(-({z})))"
+    moms = []
+    for j, f in enumerate(feat_cols):
+        xi = f"CAST(round({f}*1000000.0) AS BIGINT)"
+        moms.append(f"sum({xi}) AS s{j}")
+        moms.append(f"sum({xi}*{xi}) AS q{j}")
+    stats = []
+    for j in range(len(feat_cols)):
+        m = f"(s{j} / (1000000.0 * n))"
+        var = f"(q{j} / (1000000.0 * 1000000.0 * n) - {m}*{m})"
+        stats.append(f"{m} AS m{j}")
+        stats.append(
+            f"CASE WHEN {var} <= 0 THEN 1.0 ELSE sqrt({var}) END AS d{j}"
+        )
+    parts = [
+        "WITH rawf AS (",
+        "  SELECT q.doc_id, q.stopword_ratio AS f1, q.punct_ratio AS f2,",
+        "         q.mean_word_len * 0.1 AS f3,",
+        "         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y",
+        f"  FROM ({_quality_sql()}) q JOIN documents d USING (doc_id)",
+        "),",
+        "nn AS (SELECT count(*) AS n FROM rawf),",
+        "mom AS (SELECT " + ", ".join(moms) + " FROM rawf),",
+        "sz AS (SELECT " + ", ".join(stats) + " FROM mom, nn),",
+        "feats AS (SELECT doc_id, "
+        + ", ".join(
+            f"({f} - m{j}) / d{j} AS {f}" for j, f in enumerate(feat_cols)
+        )
+        + ", y FROM rawf, sz),",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS {c}" for c in wcols)
+        + "),",
+    ]
+    for t in range(1, iters + 1):
+        gsums = [
+            f"sum(CAST(round(({sig} - y) * 1000000.0) AS BIGINT)) AS gb"
+        ] + [
+            f"sum(CAST(round((({sig} - y) * {f}) * 1000000.0) AS BIGINT))"
+            f" AS g{j+1}"
+            for j, f in enumerate(feat_cols)
+        ]
+        parts.append(
+            f"g{t} AS (SELECT " + ", ".join(gsums) + f" FROM feats, w{t-1}),"
+        )
+        upd = ", ".join(
+            f"w{t-1}.{c} - {lr!r} * (g{t}.g{'b' if c == 'wb' else c[1:]}"
+            f" / (1000000.0 * nn.n)) AS {c}"
+            for c in wcols
+        )
+        parts.append(f"w{t} AS (SELECT {upd} FROM g{t}, w{t-1}, nn),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT doc_id, round({sig}, 6) AS prob, ({z}) >= 0.0 AS pred,"
+        f" CAST(y AS BIGINT) AS label FROM feats, w{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _quality_sql(src: str = "documents") -> str:
     """Heuristic quality-score twin of text_analysis.quality_score,
     parameterized on the (doc_id, text) source relation."""
@@ -1577,6 +1655,7 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents""",
         "quality": _quality_sql(),
+        "quality_classifier": _logreg_sql(),
         "repetition": r"""
 WITH t AS (
   SELECT doc_id,
