@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         extract,
         navigation,
+        retrieval,
         similarity,
         spanize,
         text_analysis,
@@ -402,6 +403,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_corpus_report(spark, sf_dir):
         # one-row corpus health rollup incl. exact-duplicate rate
         return curation.corpus_report(_docs(spark, sf_dir))
+
+    def q_corpus_diff(spark, sf_dir):
+        # snapshot diff: old = ids not divisible by 50, new = ids not
+        # divisible by 41 with every 97th text revised -> added /
+        # removed / changed deltas
+        docs = _docs(spark, sf_dir)
+        old = docs.where(F.col("doc_id") % 50 != 0)
+        new = docs.where(F.col("doc_id") % 41 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")),
+        )
+        return curation.corpus_diff(old, new)
+
+    def q_lsh_eval(spark, sf_dir):
+        # measured precision/recall of the contract (k=8, 4-band) LSH
+        # point against exact all-pairs Jaccard on an eval sample
+        return dedup.lsh_eval(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+        )
+
+    def q_inverted_index(spark, sf_dir):
+        # term-document postings with sorted positions over a doc
+        # sample (row layout — posting lists stay distributed)
+        return retrieval.inverted_index(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+        )
+
+    def q_term_search(spark, sf_dir):
+        # conjunctive boolean retrieval: docs containing BOTH terms
+        return retrieval.term_search(_docs(spark, sf_dir), ["key", "table"])
+
+    def q_bm25_search(spark, sf_dir):
+        # BM25 top-20 (micro-unit-exact scoring, two-phase top-k)
+        return retrieval.bm25_search(
+            _docs(spark, sf_dir), ["spark", "window"], top_k=20
+        )
 
     def q_quality_classifier(spark, sf_dir):
         # distributed logistic regression (3 GD iterations as pure
@@ -741,6 +781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_quantiles": q_score_quantiles,
         "corpus_report": q_corpus_report,
         "quality_classifier": q_quality_classifier,
+        "corpus_diff": q_corpus_diff,
+        "lsh_eval": q_lsh_eval,
+        "inverted_index": q_inverted_index,
+        "term_search": q_term_search,
+        "bm25_search": q_bm25_search,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1656,6 +1701,128 @@ SELECT doc_id,
 FROM documents""",
         "quality": _quality_sql(),
         "quality_classifier": _logreg_sql(),
+        # snapshot diff: fingerprint full-outer join (old = %50<>0,
+        # new = %41<>0 with every 97th text revised)
+        "corpus_diff": r"""
+WITH oldc AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_old
+  FROM documents WHERE doc_id % 50 <> 0
+),
+newc AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(coalesce(
+           CASE WHEN doc_id % 97 = 0 THEN text || ' rev2' ELSE text END,
+           '')), '\s+', ' ', 'g')) AS fp_new
+  FROM documents WHERE doc_id % 41 <> 0
+),
+j AS (SELECT doc_id, fp_old, fp_new FROM oldc FULL OUTER JOIN newc USING (doc_id))
+SELECT doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed' END AS status
+FROM j
+WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new""",
+        # LSH precision/recall vs exact all-pairs Jaccard on the
+        # doc_id % 13 eval sample (contract k=8, 4-band point)
+        "lsh_eval": (
+            _sig_cte(8, src="(SELECT * FROM documents WHERE doc_id % 13 = 0)")
+            + ",\nbands AS ("
+            + _BANDS_SQL
+            + "),\n"
+            + _LSH_PRS_CTE
+            + ",\n"
+            + _JACCARD_DSH_SIZES
+            + r""",
+allp AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM dsh x JOIN dsh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a.doc_a, a.doc_b
+  FROM allp a
+  JOIN sizes sa ON sa.doc_id = a.doc_a
+  JOIN sizes sb ON sb.doc_id = a.doc_b
+  WHERE round(a.n_inter / (sa.n_sh + sb.n_sh - a.n_inter), 6) >= 0.5
+),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM prs) AS n_candidates,
+  (SELECT count(*) FROM prs JOIN truth USING (doc_a, doc_b)) AS true_pos)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(true_pos AS BIGINT) AS true_pos,
+       round(CASE WHEN n_candidates > 0 THEN true_pos / n_candidates
+             ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN n_truth > 0 THEN true_pos / n_truth
+             ELSE 0.0 END, 6) AS recall
+FROM m"""
+        ),
+        # postings with sorted positions over the doc_id % 7 sample
+        "inverted_index": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 7 = 0
+),
+p AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+FROM p GROUP BY term, doc_id""",
+        # conjunctive retrieval: docs containing BOTH query terms
+        "term_search": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, u.term FROM t, unnest(toks) AS u(term)
+  WHERE u.term IN ('key', 'table')
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # BM25 top-20 for ('spark','window'): Robertson/Lucene idf,
+        # micro-unit-exact contribution sums
+        "bm25_search": r"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl
+  FROM documents
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+p AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents) t, unnest(toks) AS u(term)
+  WHERE u.term IN ('spark', 'window')
+),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+idf AS (
+  SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM dfs, tot
+),
+contrib AS (
+  SELECT tfs.doc_id,
+         CAST(round((idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                 * (dl / (sum_dl / n_docs)))))) * 1000000.0) AS BIGINT) AS c
+  FROM tfs
+  JOIN idf USING (term)
+  JOIN lens ON lens.doc_id = tfs.doc_id, tot
+),
+scored AS (
+  SELECT doc_id, round(sum(c) / 1000000.0, 6) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 20""",
         "repetition": r"""
 WITH t AS (
   SELECT doc_id,

@@ -818,3 +818,41 @@ def corpus_report(
             "exact_dup_frac"
         ),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the incremental-
+    rebuild primitive: which documents were added, removed, or changed
+    (by normalized-text fingerprint) since the last build. Downstream
+    stages (re-extraction, incremental LSH probing via
+    ``dedup.incremental_candidate_pairs``) run on exactly this delta
+    instead of the full corpus.
+
+    One fingerprint projection per side and a single full-outer
+    sort-merge join on the id — the join key is the natural layout key
+    of a corpus table, so with both snapshots bucketed by id (``sources/
+    bucketed.py``) the exchange disappears entirely. Unchanged
+    documents are filtered out (the common case at web scale — keep
+    the output delta-sized).
+    """
+    norm = lambda c: F.md5(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(c), F.lit(""))), r"\s+", " "
+        )
+    )
+    o = old.select(F.col(id_col).alias("doc_id"), norm(text_col).alias("fp_old"))
+    n = new.select(F.col(id_col).alias("doc_id"), norm(text_col).alias("fp_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status")).where(
+        F.col("status").isNotNull()
+    )

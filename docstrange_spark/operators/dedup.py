@@ -728,3 +728,88 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def lsh_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    scheme: str = "md5",
+    n: int = 3,
+) -> DataFrame:
+    """Measure the MinHash-LSH configuration against exact ground
+    truth: precision (candidate pairs that really have Jaccard >= tau)
+    and recall (true near-dup pairs the banding surfaced) on an
+    evaluation corpus — the "does the heuristic work" check that turns
+    (k, bands) from folklore into a measured operating point.
+
+    Ground truth is EXACT all-pairs n-gram Jaccard via a shingle
+    inverted self-join — quadratic in per-shingle document frequency,
+    so run it on an evaluation SAMPLE (the contract query samples
+    doc_id % 13), never the full corpus; the candidate side is the
+    production ``lsh_candidate_pairs`` plan on the same sample.
+    Requires ``tau > 0`` (zero-overlap pairs carry no shingle join row
+    and are true negatives by construction). Returns ONE row:
+    (n_truth, n_candidates, true_pos, precision, recall).
+    """
+    if not tau > 0:
+        raise ValueError(f"tau must be > 0 (got {tau})")
+    cand = lsh_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands, scheme=scheme
+    )
+    sh = shingles(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    allp = (
+        x.join(y, (F.col("shingle") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        allp.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= F.lit(float(tau))
+        )
+        .select("doc_a", "doc_b")
+    )
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    tp = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("true_pos"))
+    )
+    zero = F.lit(0.0)
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "true_pos",
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("true_pos") / F.col("n_candidates"),
+                ).otherwise(zero),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0, F.col("true_pos") / F.col("n_truth")
+                ).otherwise(zero),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Corpus-level retrieval operators: inverted index, boolean term
+search, and BM25 ranking (Robertson & Zaragoza 2009 — public
+knowledge; the reference's per-document `search_document` tool covers
+one document at a time, these serve queries against the whole corpus).
+
+Everything is built-in-function relational (posexplode + groupBy +
+broadcast joins) with deterministic outputs, so each operator carries a
+bit-exact DuckDB oracle: posting positions are sorted arrays rendered
+as comma-joined strings, and BM25 scores are summed in integer
+micro-units (the same exact-summation trick as `classifier.py`) so
+float addition order can't drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text_analysis
+
+MICRO = 1_000_000.0
+
+
+def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, pos) token stream — 0-based positions."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(text_analysis.nonempty_tokens(text_col)).alias(
+            "pos", "term"
+        ),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tf: int = 1,
+) -> DataFrame:
+    """Term-document postings with in-document positions — the
+    materialized retrieval index. Row layout (term, doc_id, tf,
+    positions) rather than per-term arrays: a web-scale term's posting
+    list is millions of documents, which must stay distributed rows,
+    never one array on one task. Positions are emitted sorted and
+    comma-joined (``"0,17,44"``) so the output is deterministic and
+    engine-portable.
+
+    One shuffle (groupBy (term, doc_id) with map-side combine). Write
+    the result partitioned/bucketed by term and every lookup becomes a
+    pruned scan.
+    """
+    return (
+        _postings(df, id_col, text_col)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("pos").cast("long"))), ","
+            ).alias("positions"),
+        )
+        .where(F.col("tf") >= min_tf)
+    )
+
+
+def term_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval: documents containing EVERY
+    query term, with per-term and total term frequencies. The classic
+    posting-intersection, expressed as a groupBy: filter postings to
+    the query terms (pushed into the scan), count distinct matched
+    terms per doc, keep docs matching all of them.
+
+    Returns (doc_id, n_hits) — ``n_hits`` the total occurrence count
+    across the query terms. The term filter is a literal IN-list, so
+    Catalyst pushes it to the source; no index materialization needed
+    for ad-hoc queries, or run it against a bucketed
+    ``inverted_index`` table for the serving shape.
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    p = _postings(df, id_col, text_col).where(F.col("term").isin(terms))
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").cast("long").alias("n_hits"),
+        )
+        .where(F.col("n_terms") == F.lit(len(terms)))
+        .select("doc_id", "n_hits")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    n_shards: int = 32,
+) -> DataFrame:
+    """BM25-ranked retrieval over the corpus (disjunctive: any doc
+    containing at least one query term is scored). Uses the
+    Robertson/Lucene idf ``ln((N - df + 0.5)/(df + 0.5) + 1)`` and the
+    standard saturation ``tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Scale shape: document lengths are a projection; N and avgdl join
+    as broadcast scalars; per-term idf is a query-term-sized broadcast.
+    Per-document contributions are rounded to integer micro-units and
+    summed exactly (bit-stable across engines and partition orders).
+    The global top-k is the skew-safe two-phase rank (per-shard top-k,
+    then re-rank the <= n_shards*top_k survivors) — never a full sort.
+    Returns (doc_id, score, rank).
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    lens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(text_analysis.nonempty_tokens(text_col))
+        .cast("long")
+        .alias("dl"),
+    )
+    tot = lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    p = _postings(df, id_col, text_col).where(F.col("term").isin(terms))
+    tfs = p.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfs = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = (
+        dfs.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    contrib = (
+        tfs.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                (
+                    F.col("idf")
+                    * (
+                        (F.col("tf") * F.lit(float(k1) + 1.0))
+                        / (
+                            F.col("tf")
+                            + F.lit(float(k1))
+                            * (
+                                F.lit(1.0 - float(b))
+                                + F.lit(float(b)) * (F.col("dl") / avgdl)
+                            )
+                        )
+                    )
+                )
+                * F.lit(MICRO),
+                0,
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c") / F.lit(MICRO), 6).alias("score")
+    )
+    order = (F.desc("score"), F.asc("doc_id"))
+    if n_shards > 1:
+        w1 = Window.partitionBy("_shard").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_shard",
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+                .cast("long")
+                % n_shards,
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= top_k)
+            .drop("_shard", "_r1")
+        )
+    w2 = Window.orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "score", "rank")
+    )

@@ -1,0 +1,89 @@
+"""Corpus-level retrieval: inverted index, boolean search, BM25."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docstrange_spark.operators import curation, dedup, retrieval
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_inverted_index_postings(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b b"), (2, "")], "doc_id long, text string"
+    )
+    rows = {(r["term"], r["doc_id"]): r for r in
+            retrieval.inverted_index(df).collect()}
+    assert rows[("a", 0)]["tf"] == 2 and rows[("a", 0)]["positions"] == "0,2"
+    assert rows[("b", 0)]["positions"] == "1"
+    assert rows[("b", 1)]["tf"] == 2 and rows[("b", 1)]["positions"] == "0,1"
+    assert rows[("c", 0)]["positions"] == "3"
+    assert not any(d == 2 for (_, d) in rows)  # empty doc -> no postings
+    # min_tf prunes singleton postings
+    pruned = retrieval.inverted_index(df, min_tf=2).collect()
+    assert {(r["term"], r["doc_id"]) for r in pruned} == {("a", 0), ("b", 1)}
+
+
+def test_term_search_conjunctive(spark):
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "x x"), (2, "y"), (3, "x y x y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"]
+           for r in retrieval.term_search(df, ["x", "y"]).collect()}
+    assert got == {0: 2, 3: 4}  # only docs containing BOTH terms
+    with pytest.raises(ValueError):
+        retrieval.term_search(df, [])
+
+
+def test_bm25_ranking_properties(docs):
+    out = retrieval.bm25_search(docs, ["spark", "table"], top_k=15).collect()
+    assert 0 < len(out) <= 15
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # two-phase top-k must equal the single-phase (n_shards=1) ranking
+    single = retrieval.bm25_search(
+        docs, ["spark", "table"], top_k=15, n_shards=1
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, single))
+
+
+def test_bm25_higher_tf_scores_higher(spark):
+    # same length docs; doc 0 mentions the query term more often
+    df = spark.createDataFrame(
+        [(0, "q q q pad pad pad"), (1, "q pad pad pad pad pad"),
+         (2, "pad pad pad pad pad pad")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in retrieval.bm25_search(df, ["q"]).collect()}
+    assert 2 not in out  # no query term -> not scored
+    assert out[0]["score"] > out[1]["score"]
+    assert out[0]["rank"] == 1
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "before"), (2, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "after"), (3, "fresh")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in curation.corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "removed", 3: "added"}
+    # identical snapshots -> empty delta
+    assert curation.corpus_diff(old, old).count() == 0
+
+
+def test_lsh_eval_sanity(docs):
+    sample = docs.where(F.col("doc_id") % 5 == 0)
+    r = dedup.lsh_eval(sample).collect()[0]
+    assert r["true_pos"] <= r["n_candidates"]
+    assert r["true_pos"] <= r["n_truth"]
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    with pytest.raises(ValueError):
+        dedup.lsh_eval(sample, tau=0.0)
