@@ -101,7 +101,14 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
 
     from pyspark.sql import functions as F
 
-    from docstrange_spark.operators import corpus, dedup, navigation, similarity
+    from docstrange_spark.operators import (
+        corpus,
+        curation,
+        dedup,
+        navigation,
+        retrieval,
+        similarity,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -137,6 +144,15 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
         # diagnostic row (new in round 4, excluded from the headline
         # sum for cross-round comparability)
         "build_corpus": lambda: corpus.corpus_plan(docs).count(),
+        # round-4 additions, diagnostic rows: corpus-level BM25
+        # retrieval and the DSIR importance-weight pass
+        "bm25_search": lambda: retrieval.bm25_search(
+            docs, ["spark", "window"], top_k=20
+        ).count(),
+        "dsir_weights": lambda: curation.dsir_weights(
+            docs.withColumn("is_target", F.col("lang") == F.lit("en")),
+            n_buckets=1024,
+        ).count(),
     }
     times: dict[str, float] = {}
     for name, job in jobs.items():
@@ -739,7 +755,12 @@ def main() -> None:
     # diagnostic rows measure intentionally-heavier alternate
     # configurations; they are reported per-query but excluded from the
     # headline sum so 'value' stays comparable across rounds
-    DIAGNOSTIC = {"dedup_minhash_lsh_k128", "build_corpus"}
+    DIAGNOSTIC = {
+        "dedup_minhash_lsh_k128",
+        "build_corpus",
+        "bm25_search",
+        "dsir_weights",
+    }
     result = {
         "metric": "docs/sec extraction throughput",
         "value": round(
