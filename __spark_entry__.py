@@ -443,6 +443,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_phrase_search(spark, sf_dir):
+        # exact contiguous-phrase retrieval ('table hash') with
+        # occurrence count + first position — one zero-shuffle projection
+        return retrieval.phrase_search(_docs(spark, sf_dir), "table hash")
+
+    def q_embedding_quant(spark, sf_dir):
+        # int8 scalar quantization of the embedding table; codes
+        # stringified for the driver compare (the operator keeps arrays)
+        q = similarity.quantize_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        )
+        return q.select(
+            "vec_id",
+            "scale",
+            F.array_join(
+                F.transform("codes", lambda x: x.cast("string")), ","
+            ).alias("codes"),
+        )
+
+    def q_quant_error(spark, sf_dir):
+        # corpus-level int8 reconstruction-error report (nano-unit
+        # exact mean, order-free max)
+        return similarity.quant_error(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        )
+
     def q_quality_classifier(spark, sf_dir):
         # distributed logistic regression (3 GD iterations as pure
         # aggregations, micro-unit-exact gradients) predicting
@@ -786,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "term_search": q_term_search,
         "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "embedding_quant": q_embedding_quant,
+        "quant_error": q_quant_error,
         "doc_frequency": q_doc_frequency,
         "winnow": q_winnow,
         "corpus_filter": q_corpus_filter,
@@ -1786,6 +1815,84 @@ p AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # exact phrase retrieval via 2-gram equality ('table hash')
+        "phrase_search": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2])
+              ELSE []::VARCHAR[] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(list_filter(grams, x -> x = 'table hash')) AS BIGINT)
+         AS n_occurrences,
+       CAST(list_position(grams, 'table hash') - 1 AS BIGINT) AS first_pos
+FROM g
+WHERE len(list_filter(grams, x -> x = 'table hash')) > 0""",
+        # int8 scalar quantization: rounded per-vector scale, clamped
+        # rounded codes (twin of similarity.quantize_embeddings)
+        "embedding_quant": r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       array_to_string(list_transform(
+         CASE WHEN scale > 0
+              THEN list_transform(vec,
+                     x -> CAST(least(127, greatest(-127,
+                            CAST(round(x / scale) AS INTEGER))) AS INTEGER))
+              ELSE list_transform(vec, x -> 0) END,
+         x -> CAST(x AS VARCHAR)), ',') AS codes
+FROM q""",
+        # int8 reconstruction-error rollup (nano-unit exact mean)
+        "quant_error": r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, vec, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(vec,
+                     x -> least(127, greatest(-127,
+                            CAST(round(x / scale) AS INTEGER))))
+              ELSE list_transform(vec, x -> 0) END AS codes
+  FROM q
+),
+e AS (
+  SELECT vec_id,
+         list_transform(range(len(vec)),
+           i -> abs(vec[i + 1] - codes[i + 1] * scale)) AS errs,
+         len(vec) AS n_elems
+  FROM c
+),
+pv AS (
+  SELECT list_sum(list_transform(errs,
+           x -> CAST(round(x * 1000000000.0) AS BIGINT))) AS err_nano,
+         list_max(errs) AS max_err,
+         n_elems
+  FROM e
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(n_elems) AS BIGINT) AS n_elems,
+       round(sum(err_nano) / (1000000000.0 * sum(n_elems)), 6)
+         AS mean_abs_err,
+       round(max(max_err), 6) AS max_abs_err
+FROM pv""",
         # BM25 top-20 for ('spark','window'): Robertson/Lucene idf,
         # micro-unit-exact contribution sums
         "bm25_search": r"""

@@ -201,3 +201,46 @@ def bm25_search(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "score", "rank")
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval: documents containing the token sequence
+    ``phrase`` contiguously, with the occurrence count and the 0-based
+    first token position. Where ``term_search`` intersects unordered
+    postings, this matches ADJACENT positions — implemented as
+    n-length word-gram equality entirely inside one projection
+    (split + transform + filter, zero shuffles, zero Python), so it
+    composes into a scan stage at any scale.
+    """
+    words = [w for w in phrase.lower().split(" ") if w]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    n = len(words)
+    target = F.lit(" ".join(words))
+    toks = text_analysis.nonempty_tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = df.select(
+        F.col(id_col).alias("doc_id"), grams.alias("grams")
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("grams"), lambda g: g == target))
+        .cast("long")
+        .alias("n_occurrences"),
+        (F.array_position(F.col("grams"), target) - 1)
+        .cast("long")
+        .alias("first_pos"),
+    )
+    return t.where(F.col("n_occurrences") > 0)

@@ -592,3 +592,85 @@ def knn_lsh(
         flat, flat.where(F.col("vid").isin(query_ids)), top_k=top_k,
         exclude_self=True,
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the standard 4x memory
+    reduction for serving ANN indexes (public practice, e.g. FAISS
+    ScalarQuantizer): per-vector ``scale = round(max|x| / 127, 6)``,
+    ``code_i = clamp(round(x_i / scale), -127, 127)`` (the clamp
+    absorbs the one-code overshoot the rounded scale can introduce).
+    A zero vector quantizes to all-zero codes with scale 0.
+
+    Pure projection (array transforms in codegen, no shuffle); the
+    rounded scale makes every code bit-reproducible in the DuckDB twin.
+    Returns (vec_id, scale, codes:array<int>).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    t = df.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("vec"),
+        F.round(
+            F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0),
+            6,
+        ).alias("scale"),
+    )
+    codes = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("vec"),
+            lambda x: F.least(
+                F.lit(127),
+                F.greatest(
+                    F.lit(-127),
+                    F.round(x / F.col("scale"), 0).cast("int"),
+                ),
+            ),
+        ),
+    ).otherwise(F.transform(F.col("vec"), lambda x: F.lit(0)))
+    return t.select("vec_id", "scale", codes.alias("codes"))
+
+
+def quant_error(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus-level reconstruction-error report for the int8
+    quantization — the "is 4x compression safe for my vectors" check.
+    ONE row: (n_vectors, n_elems, mean_abs_err, max_abs_err).
+
+    Per-element absolute errors fold inside the array as exact
+    nano-unit integers (``round(err * 1e9)`` — errors live at the
+    1e-3 scale, so nano-units keep ~6 significant digits) and sum
+    exactly across the corpus; the max folds as plain doubles (order-
+    free). Everything is a projection plus one scalar aggregation.
+    """
+    q = quantize_embeddings(df, id_col=id_col, vec_col=vec_col)
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    j = base.join(q, "vec_id")
+    err = F.zip_with(
+        F.col("vec"),
+        F.col("codes"),
+        lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+    )
+    per_vec = j.select(
+        F.aggregate(
+            F.transform(err, lambda e: F.round(e * F.lit(1e9), 0).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("err_nano"),
+        F.array_max(err).alias("max_err"),
+        F.size("vec").cast("long").alias("n_elems"),
+    )
+    return per_vec.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("n_elems").cast("long").alias("n_elems"),
+        F.round(
+            F.sum("err_nano") / (F.lit(1e9) * F.sum("n_elems")), 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("max_err"), 6).alias("max_abs_err"),
+    )

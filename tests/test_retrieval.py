@@ -87,3 +87,25 @@ def test_lsh_eval_sanity(docs):
     assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
     with pytest.raises(ValueError):
         dedup.lsh_eval(sample, tau=0.0)
+
+
+def test_phrase_search_adjacency(spark):
+    df = spark.createDataFrame(
+        [(0, "big data big data systems"), (1, "big systems data"),
+         (2, "data big"), (3, "big data")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in retrieval.phrase_search(df, "big data").collect()}
+    # doc 1 has both words but NOT adjacent; doc 2 has them reversed
+    assert got == {0: (2, 0), 3: (1, 0)}
+    # single-word phrase degenerates to token match with positions
+    got1 = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+            for r in retrieval.phrase_search(df, "data").collect()}
+    assert got1[1] == (1, 2) and got1[2] == (1, 0)
+    with pytest.raises(ValueError):
+        retrieval.phrase_search(df, "   ")
+    # zero shuffles: pure projection
+    plan = (retrieval.phrase_search(df, "big data")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

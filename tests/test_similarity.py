@@ -242,3 +242,35 @@ def test_knn_lsh_probe_scalar_index_and_external_queries(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="scalar-only"):
         similarity.knn_lsh_probe(scalar_idx, queries, top_k=5).collect()
+
+
+def test_quantize_embeddings_roundtrip_and_bounds(spark):
+    from docstrange_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    # max-abs element maps to +/-127 exactly; zero vector -> scale 0, all-0
+    assert rows[0]["codes"][0] == 127
+    assert all(-127 <= c <= 127 for c in rows[0]["codes"])
+    assert rows[1]["scale"] == 0.0 and rows[1]["codes"] == [0, 0, 0, 0]
+    # reconstruction error bounded by scale/2 per element (plus the
+    # 6-dp scale rounding slack)
+    s = rows[0]["scale"]
+    for x, c in zip([1.0, -0.5, 0.25, 0.0], rows[0]["codes"]):
+        assert abs(x - c * s) <= s / 2 + 1e-4
+
+
+def test_quant_error_report(spark):
+    from docstrange_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = sim.quant_error(emb).collect()[0]
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    assert r["n_elems"] == r["n_vectors"] * dim
+    assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"]
+    # int8 with per-vector scale: max error is half a quantization step
+    # of the largest-magnitude vector — far below the unit scale
+    assert r["max_abs_err"] < 0.05, r
