@@ -1297,8 +1297,10 @@ def _logreg_sql(iters: int = 3, lr: float = 0.5) -> str:
         )
     parts = [
         "WITH rawf AS (",
-        "  SELECT q.doc_id, q.stopword_ratio AS f1, q.punct_ratio AS f2,",
-        "         q.mean_word_len * 0.1 AS f3,",
+        "  SELECT q.doc_id,",
+        "         coalesce(q.stopword_ratio, 0.0) AS f1,",
+        "         coalesce(q.punct_ratio, 0.0) AS f2,",
+        "         coalesce(q.mean_word_len * 0.1, 0.0) AS f3,",
         "         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y",
         f"  FROM ({_quality_sql()}) q JOIN documents d USING (doc_id)",
         "),",
@@ -1364,10 +1366,13 @@ SELECT doc_id,
        CAST(n_toks AS BIGINT) AS n_tokens,
        round((n_chars - (n_toks - 1)) * 1.0 / n_toks, 4) AS mean_word_len,
        round(stop_hits * 1.0 / n_toks, 4) AS stopword_ratio,
-       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+       round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+             ELSE 0.0 END, 4) AS punct_ratio,
        round(CASE WHEN n_toks < 5 THEN 0.0
              ELSE least(1.0, (stop_hits * 1.0 / n_toks) * 2 + 0.5)
-                  - CASE WHEN n_punct * 1.0 / n_chars > 0.2 THEN 0.5 ELSE 0.0 END
+                  - CASE WHEN (CASE WHEN n_chars > 0
+                               THEN n_punct * 1.0 / n_chars ELSE 0.0 END) > 0.2
+                          THEN 0.5 ELSE 0.0 END
              END, 4) AS quality
 FROM q_m"""
     )

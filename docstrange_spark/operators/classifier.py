@@ -56,17 +56,22 @@ def standardize(
     run the moment pass on a sample or lower the quantization (the
     training loop itself is unaffected).
     """
-    n = feats.count()
-    if n == 0:
-        raise ValueError("cannot standardize an empty feature table")
-    aggs = []
+    aggs = [F.count("*").cast("long").alias("n")]
     for j, c in enumerate(feature_cols):
         xi = F.round(F.col(c) * F.lit(MICRO), 0).cast("long")
         aggs.append(F.sum(xi).alias(f"s{j}"))
         aggs.append(F.sum(xi * xi).alias(f"q{j}"))
     row = feats.agg(*aggs).collect()[0]
+    n = row["n"]
+    if n == 0:
+        raise ValueError("cannot standardize an empty feature table")
     means, stds = [], []
     for j in range(len(feature_cols)):
+        if row[f"s{j}"] is None:
+            raise ValueError(
+                f"feature column {feature_cols[j]!r} is entirely NULL — "
+                "coalesce features before standardizing"
+            )
         m = row[f"s{j}"] / (MICRO * n)
         var = row[f"q{j}"] / (MICRO * MICRO * n) - m * m
         means.append(m)
@@ -97,6 +102,10 @@ def train_logreg(
     * 1e6))`` in integer micro-units, then
     ``w_j -= lr * (g_j / (1e6 * n))``. Returns ``[bias, w_1, ...]``.
 
+    Feature and label columns must be NON-NULL: a NULL silently drops
+    out of its own gradient sum but still counts in ``n``, skewing the
+    weights — coalesce upstream (``quality_classifier`` does).
+
     ``feats`` should be a MATERIALIZED feature table at scale — each
     iteration scans it once (the contract query recomputes it per
     iteration and leans on AQE exchange reuse, same trade as
@@ -104,16 +113,15 @@ def train_logreg(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1 (got {iters})")
-    n = feats.count()
-    if n == 0:
-        raise ValueError("cannot train on an empty feature table")
     w = [0.0] * (len(feature_cols) + 1)
     y = F.col(label_col).cast("double")
+    n = None  # rides the first iteration's aggregation — no extra scan
     for _ in range(iters):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(feature_cols, w)))
         err = p - y
         sums = [
-            F.sum(F.round(err * F.lit(MICRO), 0).cast("long")).alias("gb")
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(err * F.lit(MICRO), 0).cast("long")).alias("gb"),
         ] + [
             F.sum(
                 F.round((err * F.col(c)) * F.lit(MICRO), 0).cast("long")
@@ -121,6 +129,10 @@ def train_logreg(
             for j, c in enumerate(feature_cols)
         ]
         row = feats.agg(*sums).collect()[0]
+        if n is None:
+            n = row["n"]
+            if n == 0:
+                raise ValueError("cannot train on an empty feature table")
         g = [row["gb"]] + [row[f"g{j}"] for j in range(len(feature_cols))]
         w = [wj - lr * (gj / (MICRO * n)) for wj, gj in zip(w, g)]
     return w
@@ -177,9 +189,12 @@ def quality_classifier(
         df, id_col=id_col, text_col=text_col, keep=label_keep
     ).select(
         "doc_id",
-        F.col("stopword_ratio").alias("f1"),
-        F.col("punct_ratio").alias("f2"),
-        (F.col("mean_word_len") * F.lit(0.1)).alias("f3"),
+        # empty text makes punct_ratio 0/0 = NULL (and a fully-empty
+        # corpus would NULL the others) — coalesce so NULLs can't skew
+        # the gradient sums; the oracle applies the same coalesce
+        F.coalesce(F.col("stopword_ratio"), F.lit(0.0)).alias("f1"),
+        F.coalesce(F.col("punct_ratio"), F.lit(0.0)).alias("f2"),
+        F.coalesce(F.col("mean_word_len") * F.lit(0.1), F.lit(0.0)).alias("f3"),
         label_expr.cast("double").alias("y"),
     )
     zfeats, _, _ = standardize(feats, ["f1", "f2", "f3"])

@@ -660,6 +660,8 @@ def epoch_order(
     the cluster. Pure integer md5 arithmetic: the DuckDB oracle is
     bit-exact.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
     key = _md5_long28(
         F.concat_ws(
             "|", F.lit(seed), F.lit(str(int(epoch))), F.col(id_col).cast("string")
@@ -703,6 +705,8 @@ def score_quantiles(
     qs = sorted(float(q) for q in quantiles)
     if not qs or qs[0] <= 0 or qs[-1] >= 1:
         raise ValueError("quantiles must lie strictly inside (0, 1)")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
     g = (F.col(group_col) if group_col else F.lit("all")).cast("string")
     t = df.select(
         g.alias("grp"), F.col(value_col).cast("double").alias("v")

@@ -75,12 +75,13 @@ def term_search(
     terms per doc, keep docs matching all of them.
 
     Returns (doc_id, n_hits) — ``n_hits`` the total occurrence count
-    across the query terms. The term filter is a literal IN-list, so
-    Catalyst pushes it to the source; no index materialization needed
-    for ad-hoc queries, or run it against a bucketed
-    ``inverted_index`` table for the serving shape.
+    across the query terms. Terms are lowercased to match the token
+    stream (same normalization as ``phrase_search``). The term filter
+    is a literal IN-list, so Catalyst pushes it to the source; no
+    index materialization needed for ad-hoc queries, or run it against
+    a bucketed ``inverted_index`` table for the serving shape.
     """
-    terms = sorted(set(terms))
+    terms = sorted({t.lower() for t in terms})
     if not terms:
         raise ValueError("terms must be non-empty")
     p = _postings(df, id_col, text_col).where(F.col("term").isin(terms))
@@ -116,9 +117,10 @@ def bm25_search(
     summed exactly (bit-stable across engines and partition orders).
     The global top-k is the skew-safe two-phase rank (per-shard top-k,
     then re-rank the <= n_shards*top_k survivors) — never a full sort.
-    Returns (doc_id, score, rank).
+    Returns (doc_id, score, rank). Terms are lowercased to match the
+    token stream.
     """
-    terms = sorted(set(terms))
+    terms = sorted({t.lower() for t in terms})
     if not terms:
         raise ValueError("terms must be non-empty")
     if top_k < 1:
@@ -222,16 +224,9 @@ def phrase_search(
         raise ValueError("phrase must contain at least one token")
     n = len(words)
     target = F.lit(" ".join(words))
-    toks = text_analysis.nonempty_tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = text_analysis.word_ngrams(
+        text_analysis.nonempty_tokens(text_col), n
+    )
     t = df.select(
         F.col(id_col).alias("doc_id"), grams.alias("grams")
     ).select(

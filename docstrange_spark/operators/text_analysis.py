@@ -81,7 +81,9 @@ def quality_score(
     n_chars = F.length(text_col)
     mean_word_len = (n_chars - (n_toks - 1)) / n_toks
     stop_ratio = stop_hits / n_toks
-    punct_ratio = n_punct / n_chars
+    # empty/NULL text has n_chars 0/NULL: guard the ratio (ANSI mode
+    # throws DIVIDE_BY_ZERO, non-ANSI silently NULLs — both wrong here)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep],
@@ -224,26 +226,34 @@ def winnow_fingerprints(
     )
 
 
-def bigrams(toks_col):
-    """Whitespace-bigram array from a token-array column (empty for
-    fewer than two tokens) — the shared feature extractor for the
-    Gopher repetition signals, DSIR hashing, and the filter chain.
-    DuckDB twin: ``list_transform(range(len(toks)-1),
-    i -> toks[i+1] || ' ' || toks[i+2])``."""
+def word_ngrams(toks_col, n: int):
+    """Space-joined word n-gram array from a token-array column (empty
+    when the document has fewer than ``n`` tokens) — the ONE gram
+    builder behind the Gopher repetition signals, DSIR hashing, the
+    filter chain, and phrase search, so the engines can't drift per
+    call site. (``dedup.shingles`` keeps its own copy on purpose: it
+    grams the UNFILTERED token stream for parity with its signature
+    oracle.) DuckDB twin: ``list_transform(range(len(toks)-(n-1)),
+    i -> toks[i+1] || ' ' || ... || toks[i+n])``."""
     col = toks_col if not isinstance(toks_col, str) else F.col(toks_col)
-    n = F.size(col)
+    sz = F.size(col)
     return (
         F.when(
-            n >= 2,
+            sz >= n,
             F.transform(
-                F.sequence(F.lit(0), n - 2),
+                F.sequence(F.lit(0), sz - n),
                 lambda i: F.concat_ws(
-                    " ", F.element_at(col, i + 1), F.element_at(col, i + 2)
+                    " ", *[F.element_at(col, i + k + 1) for k in range(n)]
                 ),
             ),
         )
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+def bigrams(toks_col):
+    """Whitespace bigrams — ``word_ngrams(toks, 2)``."""
+    return word_ngrams(toks_col, 2)
 
 
 def _mode_count(arr):

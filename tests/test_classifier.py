@@ -67,3 +67,17 @@ def test_pred_matches_logit_sign(docs):
             assert r["pred"]
         elif r["prob"] < 0.5:
             assert not r["pred"]
+
+
+def test_empty_text_docs_do_not_poison_training(spark):
+    """Empty text makes punct_ratio 0/0 = NULL upstream; the classifier
+    must coalesce it so such docs train and predict as zeros rather
+    than dropping out of gradient sums / emitting NULL predictions."""
+    rows = [(i, "word " * (i + 2), i % 2 == 0) for i in range(20)]
+    rows += [(100, "", False), (101, None, False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r["doc_id"]: r for r in classifier.quality_classifier(
+        df, F.col("y"), label_keep=("y",)).collect()}
+    assert len(out) == 22
+    for d in (100, 101):
+        assert out[d]["prob"] is not None and out[d]["pred"] is not None

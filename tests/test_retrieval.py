@@ -109,3 +109,14 @@ def test_phrase_search_adjacency(spark):
     plan = (retrieval.phrase_search(df, "big data")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_term_search_lowercases_query_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "Spark and More spark")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_hits"]
+           for r in retrieval.term_search(df, ["Spark"]).collect()}
+    assert got == {0: 2}  # matches the lowercased token stream
+    bm = retrieval.bm25_search(df, ["SPARK"]).collect()
+    assert len(bm) == 1 and bm[0]["doc_id"] == 0
