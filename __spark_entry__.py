@@ -443,6 +443,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_ngram_counts(spark, sf_dir):
+        # corpus bigram count table (cnt + doc_freq), tail pruned at
+        # min_count=3 — the KenLM-style LM data product
+        return text_analysis.ngram_counts(
+            _docs(spark, sf_dir), n=2, min_count=3
+        )
+
+    def q_hashed_tf(spark, sf_dir):
+        # feature-hashed L1-normalized doc vectors (dim=32) over a doc
+        # sample; vector stringified for the driver compare
+        t = text_analysis.hashed_tf(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0), dim=32
+        )
+        # micro-unit ints, not float-to-string (Spark renders small
+        # doubles in scientific notation, DuckDB doesn't)
+        return t.select(
+            "doc_id",
+            "n_tokens",
+            F.array_join(
+                F.transform(
+                    "tf_vec",
+                    lambda x: F.round(x * F.lit(1e6), 0)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("tf_vec"),
+        )
+
     def q_phrase_search(spark, sf_dir):
         # exact contiguous-phrase retrieval ('table hash') with
         # occurrence count + first position — one zero-shuffle projection
@@ -813,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search": q_term_search,
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
+        "ngram_counts": q_ngram_counts,
+        "hashed_tf": q_hashed_tf,
         "embedding_quant": q_embedding_quant,
         "quant_error": q_quant_error,
         "doc_frequency": q_doc_frequency,
@@ -1820,6 +1851,46 @@ p AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # corpus bigram LM count table (min_count=3)
+        "ngram_counts": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2])
+           ELSE []::VARCHAR[] END) AS gram
+  FROM t
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM g GROUP BY gram HAVING count(*) >= 3""",
+        # feature-hashed L1 tf vectors (dim=32, doc_id % 11 sample),
+        # rendered as micro-unit integer strings
+        "hashed_tf": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 11 = 0
+),
+b AS (
+  SELECT doc_id,
+         list_transform(toks,
+           t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 32) AS bk,
+         len(toks) AS n_tokens
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       array_to_string(list_transform(range(0, 32),
+         i -> CAST(CAST(round(
+                (CASE WHEN n_tokens > 0
+                 THEN round(len(list_filter(bk, x -> x = i)) / n_tokens, 6)
+                 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
+         AS tf_vec
+FROM b""",
         # exact phrase retrieval via 2-gram equality ('table hash')
         "phrase_search": r"""
 WITH t AS (

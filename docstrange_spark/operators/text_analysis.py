@@ -420,3 +420,89 @@ def fineweb_filters(
         reasons.alias("reasons"),
         (reasons == F.lit("")).alias("keep"),
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram count table — the data product an n-gram language
+    model trains from (KenLM-style pipelines; public knowledge): per
+    gram its total occurrence count and document frequency. At web
+    scale the table IS the model input; ``min_count`` prunes the long
+    tail (the standard vocabulary cut) inside the aggregation.
+
+    One shuffle (groupBy gram, map-side combined). Occurrences explode
+    from the shared ``word_ngrams`` builder, so the gram definition is
+    identical to every other gram consumer in the engine.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1 (got {min_count})")
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(nonempty_tokens(text_col), n)).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def hashed_tf(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashed term-frequency document vectors (the hashing
+    trick, Weinberger et al. 2009 — public knowledge): each token
+    hashes to one of ``dim`` buckets with the engine's portable 28-bit
+    md5 prefix; the vector is per-bucket counts, L1-normalized by the
+    token count when ``normalize`` (values rounded 6 dp).
+
+    This is the text→vector bridge into the ANN stack: the output
+    array feeds ``similarity.knn_bruteforce`` / ``knn_lsh`` /
+    ``quantize_embeddings`` directly. Pure projection — one md5 per
+    token, then ``dim`` integer comparisons per element, zero
+    shuffles, zero Python.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1 (got {dim})")
+    toks = nonempty_tokens(text_col)
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+        % dim,
+    )
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        buckets.alias("bk"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(F.col("bk"), lambda b: b == i.cast("long"))),
+    )
+    if normalize:
+        vec = F.when(
+            F.col("n_tokens") > 0,
+            F.transform(
+                counts,
+                lambda c: F.round(c / F.col("n_tokens"), 6),
+            ),
+        ).otherwise(
+            F.transform(counts, lambda c: F.lit(0.0))
+        )
+    else:
+        vec = F.transform(counts, lambda c: c.cast("double"))
+    return t.select("doc_id", "n_tokens", vec.alias("tf_vec"))

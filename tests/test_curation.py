@@ -575,3 +575,32 @@ def test_corpus_report_hand_checked(spark):
     assert r["total_words"] == 2 + 2 + 3
     assert r["exact_dup_docs"] == 2  # both members of the dup pair
     assert abs(r["exact_dup_frac"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_ngram_counts_and_hashed_tf(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["gram"]: (r["cnt"], r["doc_freq"])
+           for r in text_analysis.ngram_counts(df, n=2).collect()}
+    # 'a b' occurs twice in doc 0 and once in doc 1
+    assert got["a b"] == (3, 2)
+    assert got["b a"] == (1, 1) and got["b c"] == (1, 1)
+    assert "x" not in got  # single-token doc has no bigrams
+    # min_count prunes
+    pruned = {r["gram"] for r in text_analysis.ngram_counts(df, min_count=2).collect()}
+    assert pruned == {"a b"}
+
+    tf = {r["doc_id"]: r for r in text_analysis.hashed_tf(df, dim=8).collect()}
+    for d, row in tf.items():
+        # L1 normalization: components sum to ~1 for non-empty docs
+        assert abs(sum(row["tf_vec"]) - 1.0) < 1e-4, (d, row)
+        assert len(row["tf_vec"]) == 8
+    # identical texts hash identically; vectors are deterministic
+    again = {r["doc_id"]: r["tf_vec"]
+             for r in text_analysis.hashed_tf(df, dim=8).collect()}
+    assert {d: r["tf_vec"] for d, r in tf.items()} == again
+    # zero shuffles: projection only
+    plan = (text_analysis.hashed_tf(df, dim=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
