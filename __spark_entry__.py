@@ -472,6 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("tf_vec"),
         )
 
+    def q_proximity_search(spark, sf_dir):
+        # NEAR-operator retrieval: 'table' within 5 tokens of 'key'
+        return retrieval.proximity_search(
+            _docs(spark, sf_dir), "table", "key", window=5
+        )
+
+    def q_bigram_pmi(spark, sf_dir):
+        # collocation mining: PMI over adjacent pairs, min pair count 5
+        return text_analysis.bigram_pmi(_docs(spark, sf_dir), min_count=5)
+
     def q_phrase_search(spark, sf_dir):
         # exact contiguous-phrase retrieval ('table hash') with
         # occurrence count + first position — one zero-shuffle projection
@@ -843,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "ngram_counts": q_ngram_counts,
+        "proximity_search": q_proximity_search,
+        "bigram_pmi": q_bigram_pmi,
         "hashed_tf": q_hashed_tf,
         "embedding_quant": q_embedding_quant,
         "quant_error": q_quant_error,
@@ -1851,6 +1863,56 @@ p AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # NEAR retrieval: 'table' within 5 tokens of 'key'
+        "proximity_search": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         list_filter(range(len(toks)), i -> toks[i + 1] = 'table') AS pa,
+         list_filter(range(len(toks)), i -> toks[i + 1] = 'key') AS pb
+  FROM t
+),
+d AS (
+  SELECT doc_id,
+         list_min(flatten(list_transform(pa,
+           p -> list_transform(pb, q -> abs(p - q))))) AS min_dist
+  FROM p WHERE len(pa) > 0 AND len(pb) > 0
+)
+SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
+FROM d WHERE min_dist <= 5""",
+        # adjacent-pair PMI (min pair count 5)
+        "bigram_pmi": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2])
+           ELSE []::VARCHAR[] END) AS gram
+  FROM t
+),
+pairs AS (
+  SELECT gram, count(*) AS cnt,
+         string_split(gram, ' ')[1] AS w1,
+         string_split(gram, ' ')[2] AS w2
+  FROM g GROUP BY gram
+),
+tot AS (SELECT sum(cnt) AS total FROM pairs),
+l AS (SELECT w1, sum(cnt) AS c1 FROM pairs GROUP BY w1),
+r AS (SELECT w2, sum(cnt) AS c2 FROM pairs GROUP BY w2)
+SELECT gram, CAST(cnt AS BIGINT) AS pair_cnt,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       round(ln((CAST(cnt AS DOUBLE) * CAST(total AS DOUBLE))
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
+WHERE cnt >= 5""",
         # corpus bigram LM count table (min_count=3)
         "ngram_counts": r"""
 WITH t AS (

@@ -239,3 +239,52 @@ def phrase_search(
         .alias("first_pos"),
     )
     return t.where(F.col("n_occurrences") > 0)
+
+
+def proximity_search(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-operator retrieval: documents where ``term_a`` and
+    ``term_b`` occur within ``window`` tokens of each other, with the
+    minimum observed distance. Sits between ``term_search`` (unordered
+    AND) and ``phrase_search`` (distance exactly 1, ordered).
+
+    One projection: both terms' position arrays are built inside the
+    row (array filters over the posexploded-free token array), and the
+    min pairwise distance is a nested array fold — cost
+    O(|pos_a| * |pos_b|) per document, bounded by document length,
+    zero shuffles, zero Python.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1 (got {window})")
+    a, b = term_a.lower(), term_b.lower()
+    if not a or not b:
+        raise ValueError("terms must be non-empty")
+    toks = text_analysis.nonempty_tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+
+    def positions(term):
+        return F.filter(
+            idx, lambda i: F.element_at(toks, i + 1) == F.lit(term)
+        )
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        positions(a).alias("pa"),
+        positions(b).alias("pb"),
+    )
+    dists = F.flatten(
+        F.transform(
+            F.col("pa"),
+            lambda p: F.transform(F.col("pb"), lambda q: F.abs(p - q)),
+        )
+    )
+    out = t.where((F.size("pa") > 0) & (F.size("pb") > 0)).select(
+        "doc_id", F.array_min(dists).cast("long").alias("min_dist")
+    )
+    return out.where(F.col("min_dist") <= window)

@@ -506,3 +506,57 @@ def hashed_tf(
     else:
         vec = F.transform(counts, lambda c: c.cast("double"))
     return t.select("doc_id", "n_tokens", vec.alias("tf_vec"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs (Church &
+    Hanks 1990 — public knowledge): ``pmi = ln(c12 * T / (c1 * c2))``
+    with ``T`` the total bigram count and c1/c2 the counts of the pair
+    occurring as left/right member. High-PMI pairs are the corpus's
+    collocations — the standard phrase-mining signal (and the test
+    word2vec-style pipelines use to pre-join phrases).
+
+    Three aggregations over the shared gram stream (bigram counts,
+    left-unigram counts, right-unigram counts — the margins of the
+    same table, derived from ONE ngram_counts pass by splitting the
+    gram), margins broadcast back. ``min_count`` prunes rare pairs
+    before the log (the classic PMI noise control).
+    """
+    pairs = ngram_counts(
+        df, n=2, min_count=1, id_col=id_col, text_col=text_col
+    ).select(
+        "gram",
+        "cnt",
+        F.split(F.col("gram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("gram"), " ").getItem(1).alias("w2"),
+    )
+    total = pairs.agg(F.sum("cnt").alias("total"))
+    left = pairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    right = pairs.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    return (
+        pairs.where(F.col("cnt") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            F.col("cnt").alias("pair_cnt"),
+            "c1",
+            "c2",
+            # double products, not long*long: a web-scale total
+            # overflows int64 (ANSI Spark throws, DuckDB errors) —
+            # doubles are exact below 2^53 and merely approximate above
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double") * F.col("total").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

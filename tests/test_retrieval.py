@@ -120,3 +120,36 @@ def test_term_search_lowercases_query_terms(spark):
     assert got == {0: 2}  # matches the lowercased token stream
     bm = retrieval.bm25_search(df, ["SPARK"]).collect()
     assert len(bm) == 1 and bm[0]["doc_id"] == 0
+
+
+def test_proximity_search_window_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha x x beta"), (1, "alpha x x x x x beta"),
+         (2, "beta alpha"), (3, "alpha only here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["min_dist"] for r in
+           retrieval.proximity_search(df, "alpha", "beta", window=3).collect()}
+    # doc 0: distance 3 (within); doc 1: 6 (outside); doc 2: 1 (order-free)
+    assert got == {0: 3, 2: 1}
+    with pytest.raises(ValueError):
+        retrieval.proximity_search(df, "alpha", "beta", window=0)
+    # zero shuffles
+    plan = (retrieval.proximity_search(df, "alpha", "beta")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_bigram_pmi_collocations(spark):
+    from docstrange_spark.operators import text_analysis
+
+    # 'hong kong' always co-occurs; 'the thing' shares 'the' with many
+    rows = [(i, "hong kong is the place and the weather and the thing")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["gram"]: r for r in text_analysis.bigram_pmi(df, min_count=5).collect()}
+    assert got["hong kong"]["pmi"] > got["the thing"]["pmi"]
+    import math
+    # hand-check: hong appears only as w1 of 'hong kong' (c1=5),
+    # kong only as w2 (c2=5), pair 5, total 50 bigrams
+    assert abs(got["hong kong"]["pmi"] - round(math.log(5 * 50 / (5 * 5)), 6)) < 1e-9
