@@ -472,6 +472,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("tf_vec"),
         )
 
+    def q_materialize_batches(spark, sf_dir):
+        # the packed training artifact: per (shard, batch) concatenated
+        # member texts in id order + id list (stringified for compare)
+        m = curation.materialize_batches(
+            _docs(spark, sf_dir), budget=512, n_shards=16
+        )
+        return m.select(
+            "shard",
+            "batch_id",
+            "n_docs",
+            "n_tokens",
+            F.array_join(
+                F.transform("doc_ids", lambda x: x.cast("string")), ","
+            ).alias("doc_ids"),
+            "text",
+        )
+
     def q_proximity_search(spark, sf_dir):
         # NEAR-operator retrieval: 'table' within 5 tokens of 'key'
         return retrieval.proximity_search(
@@ -855,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
+        "materialize_batches": q_materialize_batches,
         "hashed_tf": q_hashed_tf,
         "embedding_quant": q_embedding_quant,
         "quant_error": q_quant_error,
@@ -1863,6 +1881,33 @@ p AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # packed training sequences (budget=512, 16 shards)
+        "materialize_batches": r"""
+WITH p AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16 AS shard,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT doc_id, shard,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+           AS batch_id,
+         n_tokens
+  FROM p
+),
+j AS (
+  SELECT a.doc_id, a.shard, a.batch_id, a.n_tokens,
+         coalesce(d.text, '') AS text
+  FROM a JOIN documents d USING (doc_id)
+)
+SELECT CAST(shard AS BIGINT) AS shard, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+FROM j GROUP BY shard, batch_id""",
         # NEAR retrieval: 'table' within 5 tokens of 'key'
         "proximity_search": r"""
 WITH t AS (

@@ -860,3 +860,56 @@ def corpus_diff(
     return j.select("doc_id", status.alias("status")).where(
         F.col("status").isNotNull()
     )
+
+
+def materialize_batches(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Turn ``pack_batches``'s assignment into the actual training
+    artifact: one row per (shard, batch) with the member documents'
+    texts concatenated in id order (separator between documents — the
+    EOS-boundary stand-in), the member id list, and the token total.
+    This is the sequence-construction step a pre-training data loader
+    consumes directly.
+
+    Scale shape: one groupBy (shard, batch) with map-side combine;
+    in-group order is enforced by sorting the collected (doc_id, text)
+    structs INSIDE the row (``sort_array`` on the struct array — a
+    deterministic array sort, not a global ORDER BY), so the output is
+    identical regardless of partitioning. Group size is bounded by the
+    token budget, so no batch row can exceed ~budget tokens of text.
+    """
+    assignment = pack_batches(
+        df, budget=budget, n_shards=n_shards, id_col=id_col, text_col=text_col
+    )
+    texts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    j = assignment.join(texts, "doc_id")
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+    )
+    return (
+        j.groupBy("shard", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            members.alias("_m"),
+        )
+        .select(
+            "shard",
+            "batch_id",
+            "n_docs",
+            "n_tokens",
+            F.transform(F.col("_m"), lambda m: m["doc_id"]).alias("doc_ids"),
+            F.array_join(
+                F.transform(F.col("_m"), lambda m: m["text"]), separator
+            ).alias("text"),
+        )
+    )

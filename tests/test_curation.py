@@ -604,3 +604,25 @@ def test_ngram_counts_and_hashed_tf(spark):
     plan = (text_analysis.hashed_tf(df, dim=8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_materialize_batches_reconstructs_sequences(spark, docs):
+    """The packed artifact must (a) contain every doc exactly once,
+    (b) order members by id within a batch, (c) concatenate with the
+    separator, and (d) be invariant to input partitioning."""
+    m = curation.materialize_batches(docs, budget=400, n_shards=4)
+    rows = m.collect()
+    all_ids = [d for r in rows for d in r["doc_ids"]]
+    assert sorted(all_ids) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    texts = {r["doc_id"]: r["text"] or "" for r in docs.collect()}
+    for r in rows:
+        assert list(r["doc_ids"]) == sorted(r["doc_ids"])
+        assert r["text"] == "\n\n".join(texts[d] for d in r["doc_ids"])
+        assert r["n_docs"] == len(r["doc_ids"])
+    again = curation.materialize_batches(
+        docs.repartition(7), budget=400, n_shards=4
+    ).collect()
+    key = lambda rs: sorted((r["shard"], r["batch_id"], r["text"]) for r in rs)
+    assert key(rows) == key(again)
