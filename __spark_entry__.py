@@ -1886,7 +1886,7 @@ FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
 WITH p AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16 AS shard,
-         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+         len(list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '')) AS n_tokens
   FROM documents
 ),
 a AS (
@@ -2165,7 +2165,7 @@ FROM u""",
 WITH t AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 64 AS shard,
-         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+         len(list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '')) AS n_tokens
   FROM documents
 )
 SELECT doc_id,

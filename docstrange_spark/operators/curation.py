@@ -60,6 +60,7 @@ def pack_batches(
     n_shards: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: tuple = (),
 ) -> DataFrame:
     """Assign documents to token-budget training batches: shard by id
     hash, then within each shard walk documents in id order and cut a
@@ -71,6 +72,9 @@ def pack_batches(
     a global ORDER BY, which would funnel 100 TB through one task. Shards
     pack independently and in parallel; ``n_shards`` should be >= the
     cluster's task slots. Returns (doc_id, shard, batch_id, n_tokens).
+    ``carry`` rides extra expressions through the window (windows allow
+    carried columns), so a consumer that needs e.g. the text does not
+    re-scan and re-join the corpus.
     """
     if budget < 1 or n_shards < 1:
         raise ValueError(
@@ -79,7 +83,10 @@ def pack_batches(
     toks = F.size(text_analysis.nonempty_tokens(text_col)).cast("long")
     shard = _md5_long28(F.col(id_col)) % n_shards
     t = df.select(
-        F.col(id_col).alias("doc_id"), shard.alias("shard"), toks.alias("n_tokens")
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        toks.alias("n_tokens"),
+        *carry,
     )
     w = (
         Window.partitionBy("shard")
@@ -96,6 +103,8 @@ def pack_batches(
         .cast("long")
         .alias("batch_id"),
         "n_tokens",
+        # carried columns come back out by the name t gave them
+        *[c for c in t.columns if c not in ("doc_id", "shard", "n_tokens")],
     )
 
 
@@ -877,21 +886,28 @@ def materialize_batches(
     This is the sequence-construction step a pre-training data loader
     consumes directly.
 
-    Scale shape: one groupBy (shard, batch) with map-side combine;
-    in-group order is enforced by sorting the collected (doc_id, text)
-    structs INSIDE the row (``sort_array`` on the struct array — a
-    deterministic array sort, not a global ORDER BY), so the output is
-    identical regardless of partitioning. Group size is bounded by the
-    token budget, so no batch row can exceed ~budget tokens of text.
+    Scale shape: ONE scan — the text rides through the packing window
+    as a carried column (``pack_batches(carry=...)``), so there is no
+    second corpus scan and no doc_id re-join; then one groupBy
+    (shard, batch) with map-side combine. In-group order is enforced by
+    sorting the collected (doc_id, text) structs INSIDE the row
+    (``array_sort`` — deterministic, not a global ORDER BY), so the
+    output is identical regardless of partitioning. A batch's text is
+    bounded by ``budget`` plus its LARGEST member document (batch
+    membership is by exclusive-prefix start offset): cap oversized
+    documents upstream (``fineweb_filters`` max_words) if a hard row
+    bound is required.
     """
-    assignment = pack_batches(
-        df, budget=budget, n_shards=n_shards, id_col=id_col, text_col=text_col
+    j = pack_batches(
+        df,
+        budget=budget,
+        n_shards=n_shards,
+        id_col=id_col,
+        text_col=text_col,
+        carry=(
+            F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        ),
     )
-    texts = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
-    )
-    j = assignment.join(texts, "doc_id")
     members = F.array_sort(
         F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
     )
