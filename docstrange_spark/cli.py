@@ -134,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
                          "(extract -> signals -> dedup -> select -> pack) "
                          "over a documents-style parquet; needs --out, "
                          "resumes from committed stages on rerun")
+    ap.add_argument("--search", default=None, metavar="QUERY",
+                    help="BM25-rank the corpus for QUERY (documents-style "
+                         "parquet input: doc_id, text) and print the top "
+                         "hits as JSON lines")
+    ap.add_argument("--top-k", type=int, default=10,
+                    help="result count for --search (default 10)")
+    ap.add_argument("--report", action="store_true",
+                    help="print the one-row corpus health report "
+                         "(doc/lang/source counts, token volume, exact-dup "
+                         "rate) as JSON for a documents-style parquet")
     args = ap.parse_args(argv)
 
     if args.list_formats:
@@ -142,6 +152,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.input is None:
         print("Error: no input specified", file=sys.stderr)
         return 2
+    if args.search is not None:
+        from docstrange_spark.session import get_spark
+        from docstrange_spark.operators import retrieval
+
+        spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
+        hits = retrieval.bm25_search(
+            spark.read.parquet(args.input),
+            args.search.split(),
+            top_k=args.top_k,
+        ).collect()  # bounded by --top-k — never the corpus
+        for r in hits:
+            print(json.dumps(
+                {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
+            ))
+        return 0
+    if args.report:
+        from docstrange_spark.session import get_spark
+        from docstrange_spark.operators import curation
+
+        spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
+        row = curation.corpus_report(spark.read.parquet(args.input)).collect()[0]
+        print(json.dumps(row.asDict()))
+        return 0
     if args.build_corpus:
         if args.out is None:
             print("Error: --build-corpus needs --out", file=sys.stderr)

@@ -240,3 +240,22 @@ def test_cli_build_corpus_runs_and_resumes(spark, tmp_path, capsys):
     # flag validation: no --out is exit 2
     assert cli.main(["/root/testdata/sf0.001/documents.parquet",
                      "--build-corpus"]) == 2
+
+
+def test_cli_search_and_report(spark, capsys):
+    import json as _json
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = cli.main([src, "--search", "spark window", "--top-k", "3", "--cpus", "4"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    hits = [_json.loads(l) for l in lines]
+    assert len(hits) == 3
+    assert [h["rank"] for h in hits] == [1, 2, 3]
+    assert hits[0]["score"] >= hits[1]["score"] >= hits[2]["score"]
+
+    rc = cli.main([src, "--report", "--cpus", "4"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 500 and rep["n_langs"] == 5
+    assert rep["exact_dup_docs"] == 0
