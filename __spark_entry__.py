@@ -443,6 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_char_entropy(spark, sf_dir):
+        # Shannon entropy of the per-doc character distribution (nats)
+        return text_analysis.char_entropy(_docs(spark, sf_dir))
+
     def q_ngram_counts(spark, sf_dir):
         # corpus bigram count table (cnt + doc_freq), tail pruned at
         # min_count=3 — the KenLM-style LM data product
@@ -870,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "ngram_counts": q_ngram_counts,
+        "char_entropy": q_char_entropy,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -1958,6 +1963,23 @@ SELECT gram, CAST(cnt AS BIGINT) AS pair_cnt,
                 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
 FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
 WHERE cnt >= 5""",
+        # per-doc character-distribution Shannon entropy
+        "char_entropy": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ''), c -> c <> '') AS cs
+  FROM documents
+),
+a AS (SELECT doc_id, cs, list_distinct(cs) AS alpha FROM t)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_chars,
+       CAST(len(alpha) AS BIGINT) AS n_distinct_chars,
+       round(CASE WHEN len(cs) > 0 THEN
+         0.0 - list_sum(list_transform(alpha,
+            x -> (len(list_filter(cs, c -> c = x)) / len(cs))
+                 * ln(len(list_filter(cs, c -> c = x)) / len(cs))))
+         ELSE 0.0 END, 6) AS entropy
+FROM a""",
         # corpus bigram LM count table (min_count=3)
         "ngram_counts": r"""
 WITH t AS (

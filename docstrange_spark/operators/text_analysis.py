@@ -560,3 +560,42 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document —
+    the classic gibberish/binary-noise detector (low entropy = repeated
+    filler, implausibly high = random bytes; public practice in crawl
+    cleaning). Returns (doc_id, n_chars, n_distinct_chars, entropy)
+    with entropy in nats, rounded 6 dp.
+
+    Pure array computation inside one projection: split to chars,
+    distinct alphabet, one fold summing ``-p ln p`` — cost
+    O(alphabet * length) per document, zero shuffles, zero Python.
+    """
+    chars = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+        lambda c: c != F.lit(""),
+    )
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        chars.alias("cs"),
+        F.array_distinct(chars).alias("alpha"),
+    )
+    n = F.size("cs")
+    ent = F.aggregate(
+        F.transform(
+            F.col("alpha"),
+            lambda a: F.size(F.filter(F.col("cs"), lambda c: c == a)) / n,
+        ),
+        F.lit(0.0),
+        lambda acc, p: acc - p * F.log(p),
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size("alpha").cast("long").alias("n_distinct_chars"),
+        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6).alias("entropy"),
+    )

@@ -626,3 +626,18 @@ def test_materialize_batches_reconstructs_sequences(spark, docs):
     ).collect()
     key = lambda rs: sorted((r["shard"], r["batch_id"], r["text"]) for r in rs)
     assert key(rows) == key(again)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_analysis.char_entropy(df).collect()}
+    assert got[0]["entropy"] == 0.0              # single symbol
+    assert abs(got[1]["entropy"] - round(math.log(2), 6)) < 1e-9   # 2 equiprobable
+    assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 1e-9   # 4 equiprobable
+    assert got[3]["entropy"] == 0.0 and got[3]["n_chars"] == 0     # empty doc
+    assert got[2]["n_distinct_chars"] == 4
