@@ -443,6 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_top_vocabulary(spark, sf_dir):
+        # top-50 vocabulary with cumulative coverage (tokenizer sizing)
+        return curation.top_vocabulary(_docs(spark, sf_dir), k=50)
+
     def q_char_entropy(spark, sf_dir):
         # Shannon entropy of the per-doc character distribution (nats)
         return text_analysis.char_entropy(_docs(spark, sf_dir))
@@ -875,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "ngram_counts": q_ngram_counts,
         "char_entropy": q_char_entropy,
+        "top_vocabulary": q_top_vocabulary,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -1963,6 +1968,24 @@ SELECT gram, CAST(cnt AS BIGINT) AS pair_cnt,
                 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
 FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
 WHERE cnt >= 5""",
+        # top-50 vocabulary with cumulative coverage
+        "top_vocabulary": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM c),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM c QUALIFY rank <= 50
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
+       round(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             / total, 6) AS cum_coverage
+FROM r, tot""",
         # per-doc character-distribution Shannon entropy
         "char_entropy": r"""
 WITH t AS (

@@ -929,3 +929,58 @@ def materialize_batches(
             ).alias("text"),
         )
     )
+
+
+def top_vocabulary(
+    df: DataFrame,
+    k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary by occurrence count with cumulative
+    coverage — the tokenizer-sizing table ("how large must the vocab be
+    to cover 95% of tokens"). Returns (token, cnt, rank,
+    cum_coverage) with coverage = cumulative count / ALL token
+    occurrences (not just the top-k's).
+
+    Scale shape: token counts aggregate with map-side combine; the
+    global top-k uses the skew-safe two-phase rank (per-shard top-k on
+    an md5 shard of the token, then re-rank <= n_shards*k survivors —
+    a web-scale vocabulary never funnels one task); the coverage
+    window runs over the k surviving rows only, with the corpus total
+    joined as a broadcast scalar.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    toks = df.select(
+        F.explode(text_analysis.nonempty_tokens(text_col)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    order = (F.desc("cnt"), F.asc("token"))
+    ranked = counts
+    if n_shards > 1:
+        w1 = Window.partitionBy("_shard").orderBy(*order)
+        ranked = (
+            ranked.withColumn("_shard", _md5_long28(F.col("token")) % n_shards)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .drop("_shard", "_r1")
+        )
+    w2 = Window.orderBy(*order)
+    wcum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumn("_cum", F.sum("cnt").over(wcum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            F.round(F.col("_cum") / F.col("total"), 6).alias("cum_coverage"),
+        )
+    )

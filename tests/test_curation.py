@@ -641,3 +641,24 @@ def test_char_entropy_known_values(spark):
     assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 1e-9   # 4 equiprobable
     assert got[3]["entropy"] == 0.0 and got[3]["n_chars"] == 0     # empty doc
     assert got[2]["n_distinct_chars"] == 4
+
+
+def test_top_vocabulary_two_phase_and_coverage(spark, docs):
+    out = curation.top_vocabulary(docs, k=20).collect()
+    assert len(out) == 20
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 21))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    cnts = [r["cnt"] for r in by_rank]
+    assert cnts == sorted(cnts, reverse=True)
+    covs = [r["cum_coverage"] for r in by_rank]
+    assert covs == sorted(covs) and covs[-1] <= 1.0
+    # two-phase identical to single-phase
+    single = curation.top_vocabulary(docs, k=20, n_shards=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, single))
+    # hand check against a brute-force count
+    from collections import Counter
+    c = Counter()
+    for r in docs.collect():
+        c.update(w for w in (r["text"] or "").lower().split(" ") if w)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["token"], r["cnt"]) for r in by_rank] == top
