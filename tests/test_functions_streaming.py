@@ -276,3 +276,38 @@ def test_streaming_near_dup_degenerate_bucket_chains(spark, tmp_path):
     # chain pairing: n-1 distinct consecutive links (identical in all 4
     # bands), not C(500,2) ~ 125k pairs
     assert pairs == {(i, i + 1) for i in range(n - 1)}
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """The projection-only curation/quality operators (fineweb_filters,
+    pii_scrub, hashed_tf, char_entropy, hash_split) must work UNCHANGED
+    over readStream — zero-shuffle projections are streaming-safe by
+    construction, and their batch output is the golden answer."""
+    from docstrange_spark.operators import curation, text_analysis
+
+    src = str(tmp_path / "docs_in")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    schema = docs.schema
+
+    for name, op in [
+        ("fineweb", lambda d: text_analysis.fineweb_filters(d)),
+        ("pii", lambda d: text_analysis.pii_scrub(d)),
+        ("entropy", lambda d: text_analysis.char_entropy(d)),
+        ("split", lambda d: curation.hash_split(d).select("doc_id", "split")),
+    ]:
+        out = str(tmp_path / f"out_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        stream_df = op(spark.readStream.schema(schema).parquet(src))
+        assert stream_df.isStreaming
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        exp = sorted(map(tuple, op(docs).collect()))
+        assert got == exp, name
