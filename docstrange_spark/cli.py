@@ -134,6 +134,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(extract -> signals -> dedup -> select -> pack) "
                          "over a documents-style parquet; needs --out, "
                          "resumes from committed stages on rerun")
+    ap.add_argument("--update-corpus", default=None, metavar="OLD_INPUT",
+                    help="incremental corpus refresh: INPUT is the new "
+                         "snapshot, OLD_INPUT the previous one; re-extracts "
+                         "only the diff and re-runs the chain (needs --out "
+                         "holding the previous build)")
     ap.add_argument("--search", default=None, metavar="QUERY",
                     help="BM25-rank the corpus for QUERY (documents-style "
                          "parquet input: doc_id, text) and print the top "
@@ -174,6 +179,23 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
         row = curation.corpus_report(spark.read.parquet(args.input)).collect()[0]
         print(json.dumps(row.asDict()))
+        return 0
+    if args.update_corpus is not None:
+        if args.out is None:
+            print("Error: --update-corpus needs --out", file=sys.stderr)
+            return 2
+        from docstrange_spark.session import get_spark
+        from docstrange_spark.operators import corpus
+
+        spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
+        try:
+            summary = corpus.update_corpus(
+                spark, args.update_corpus, args.input, args.out
+            )
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 2
+        print(summary)
         return 0
     if args.build_corpus:
         if args.out is None:

@@ -359,3 +359,93 @@ def build_corpus(
         # nonexistent path)
         "final": os.path.join(out_dir, "pack") if "pack" in status else None,
     }
+
+
+def update_corpus(
+    spark: SparkSession,
+    old_input: str,
+    new_input: str,
+    out_dir: str,
+    **overrides,
+) -> dict:
+    """Incremental corpus refresh — the daily-ingest mode. Given a
+    previous ``build_corpus`` run over ``old_input`` (its committed
+    ``extract/`` stage is the reusable asset: extraction is the
+    dominant cost, one Arrow-kernel pass per document), diff the
+    snapshots (:func:`curation.corpus_diff`), re-extract ONLY the
+    added/changed documents, patch the extract stage, and delegate the
+    rest of the chain to ``build_corpus`` — whose stage markers still
+    carry the old snapshot id, so every cross-document stage (signals,
+    dedup, select, pack) recomputes over the patched corpus
+    automatically. Cross-document stages recompute by design: near-dup
+    clusters and domain caps are global properties (the LSH candidate
+    pass can additionally ride ``dedup.incremental_candidate_pairs``
+    against a persisted band index when maintained separately).
+
+    The patched stage swaps in atomically for resume purposes: the new
+    parquet lands in a temp dir first, the swap happens before the
+    marker commit, and a kill anywhere in between leaves a marker that
+    does NOT match the new snapshot — the next run safely falls back to
+    a full re-extract. (Directory rename is the local-FS stand-in for
+    an Iceberg snapshot commit.)
+
+    The invariant (pinned by test): ``update_corpus(old, new)`` output
+    is IDENTICAL to ``build_corpus(new)`` from scratch.
+    """
+    import shutil
+
+    from docstrange_spark.sources import manifest as mf
+
+    cfg = {**DEFAULTS, **overrides}
+    config_fp = _config_fingerprint(cfg)
+    old_snapshot = mf.snapshot_id_of(old_input)
+    if not _stage_done(out_dir, "extract", old_snapshot, config_fp):
+        raise ValueError(
+            "update_corpus needs a committed extract stage for the OLD "
+            "snapshot and the SAME config — run build_corpus(old_input) "
+            "first"
+        )
+    new_snapshot = mf.snapshot_id_of(new_input)
+    old_docs = spark.read.parquet(old_input)
+    new_docs = spark.read.parquet(new_input)
+    delta = curation.corpus_diff(old_docs, new_docs)
+    counts = {
+        r["status"]: r["n"]
+        for r in delta.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    key = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    refresh_ids = delta.where(
+        F.col("status").isin("added", "changed")
+    ).select("doc_id")
+    drop_keys = delta.where(
+        F.col("status").isin("removed", "changed")
+    ).select(key.alias("doc_id"))
+    path = os.path.join(out_dir, "extract")
+    tmp = os.path.join(out_dir, "extract__patch")
+    t0 = time.time()
+    fresh = _extract_stage(new_docs.join(refresh_ids, "doc_id", "semi"))
+    patched = (
+        spark.read.parquet(path)
+        .join(F.broadcast(drop_keys), "doc_id", "anti")
+        .unionByName(fresh)
+    )
+    patched.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    out = spark.read.parquet(path)
+    _commit_stage(
+        out_dir,
+        "extract",
+        uuid.uuid4().hex[:12],
+        new_snapshot,
+        config_fp,
+        out.count(),
+        int((time.time() - t0) * 1000),
+    )
+    summary = build_corpus(spark, new_input, out_dir, **overrides)
+    summary["extract_patch"] = {
+        "n_added": counts.get("added", 0),
+        "n_changed": counts.get("changed", 0),
+        "n_removed": counts.get("removed", 0),
+    }
+    return summary

@@ -259,3 +259,22 @@ def test_cli_search_and_report(spark, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_docs"] == 500 and rep["n_langs"] == 5
     assert rep["exact_dup_docs"] == 0
+
+
+def test_cli_update_corpus_roundtrip(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.where(F.col("doc_id") % 3 != 0).write.parquet(old_p)
+    docs.write.parquet(new_p)
+    out = str(tmp_path / "corpus")
+    assert cli.main([old_p, "--build-corpus", "--out", out, "--cpus", "4"]) == 0
+    capsys.readouterr()
+    rc = cli.main([new_p, "--update-corpus", old_p, "--out", out, "--cpus", "4"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "extract_patch" in printed and "'skipped'" in printed
+    # refresh without a prior build is a clean exit-2 error
+    assert cli.main([new_p, "--update-corpus", old_p,
+                     "--out", str(tmp_path / "empty"), "--cpus", "4"]) == 2

@@ -129,3 +129,47 @@ def test_optional_clean_stage(spark, tmp_path, docs_path):
     with _pytest.raises(ValueError):
         corpus.build_corpus(spark, docs_path, str(tmp_path / "x"),
                             stop_after="clean")
+
+
+def test_update_corpus_equals_fresh_build(spark, tmp_path):
+    """The incremental-refresh invariant: patching the extract stage
+    with the snapshot delta and re-running the chain produces EXACTLY
+    the corpus a from-scratch build over the new snapshot produces —
+    while re-extracting only the delta."""
+    from pyspark.sql import functions as F
+
+    from docstrange_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.where(F.col("doc_id") % 41 != 0)
+    new = docs.where(F.col("doc_id") % 29 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(old_p)
+    new.write.parquet(new_p)
+
+    inc_dir, fresh_dir = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    corpus.build_corpus(spark, old_p, inc_dir)
+    s = corpus.update_corpus(spark, old_p, new_p, inc_dir)
+    assert s["stages"]["extract"] == "skipped"  # the patched stage held
+    assert s["stages"]["dedup"] == "ran"        # cross-doc stages refreshed
+    patch = s["extract_patch"]
+    assert patch["n_added"] > 0 and patch["n_removed"] > 0 and patch["n_changed"] > 0
+
+    corpus.build_corpus(spark, new_p, fresh_dir)
+    for stage in ("extract", "select", "pack"):
+        a = sorted(map(tuple, spark.read.parquet(f"{inc_dir}/{stage}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{fresh_dir}/{stage}").collect()))
+        assert a == b, stage
+
+
+def test_update_corpus_requires_prior_build(spark, tmp_path):
+    from docstrange_spark.operators import corpus
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    with pytest.raises(ValueError):
+        corpus.update_corpus(spark, docs, docs, str(tmp_path / "none"))
