@@ -443,6 +443,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_text_knn(spark, sf_dir):
+        # the full text->vector->ANN loop: hashed-tf doc vectors fed
+        # straight into exact cosine top-k (5 query docs vs the corpus)
+        vecs = text_analysis.hashed_tf(_docs(spark, sf_dir), dim=32).select(
+            "doc_id", "tf_vec"
+        )
+        return similarity.knn_bruteforce(
+            vecs, [0, 11, 22, 33, 44], top_k=5,
+            id_col="doc_id", vec_col="tf_vec",
+        )
+
     def q_top_vocabulary(spark, sf_dir):
         # top-50 vocabulary with cumulative coverage (tokenizer sizing)
         return curation.top_vocabulary(_docs(spark, sf_dir), k=50)
@@ -880,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "char_entropy": q_char_entropy,
         "top_vocabulary": q_top_vocabulary,
+        "text_knn": q_text_knn,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -1968,6 +1980,48 @@ SELECT gram, CAST(cnt AS BIGINT) AS pair_cnt,
                 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
 FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
 WHERE cnt >= 5""",
+        # text->hashed-tf->exact-cosine top-k loop
+        "text_knn": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(toks,
+           tk -> ('0x' || substr(md5(tk), 1, 7))::BIGINT % 32) AS bk,
+         len(toks) AS n
+  FROM t
+),
+v AS (
+  SELECT doc_id, i,
+         CASE WHEN n > 0
+              THEN round(len(list_filter(bk, x -> x = i - 1)) / n, 6)
+              ELSE 0.0 END AS val
+  FROM b, unnest(generate_series(1, 32)) AS u(i)
+),
+norms AS (SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM v GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS qid, bb.doc_id AS nid, sum(a.val * bb.val) AS dot
+  FROM v a JOIN v bb ON a.i = bb.i AND bb.doc_id <> a.doc_id
+  WHERE a.doc_id IN (0, 11, 22, 33, 44)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round(dot / (qn.nrm * nn.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.doc_id = qid
+  JOIN norms nn ON nn.doc_id = nid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 5""",
         # top-50 vocabulary with cumulative coverage
         "top_vocabulary": r"""
 WITH toks AS (
