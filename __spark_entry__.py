@@ -443,6 +443,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_line_filters(spark, sf_dir):
+        # C4-style line cleanup over the EXTRACTED markdown: short-line
+        # drop (headings exempt) + within-doc exact line dedup
+        md = _extracted(spark, sf_dir).select(
+            "doc_id", F.col("markdown").alias("text")
+        )
+        return text_analysis.line_filters(md)
+
     def q_text_knn(spark, sf_dir):
         # the full text->vector->ANN loop: hashed-tf doc vectors fed
         # straight into exact cosine top-k (5 query docs vs the corpus)
@@ -892,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "top_vocabulary": q_top_vocabulary,
         "text_knn": q_text_knn,
+        "line_filters": q_line_filters,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -2635,6 +2644,23 @@ SELECT doc_id, clean_text,
        CAST(n_phones AS BIGINT) AS n_phones,
        CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_redactions
 FROM s3"""
+    out["line_filters"] = MD_CTE + r""",
+lf_t AS (SELECT doc_id, string_split(coalesce(markdown, ''), chr(10)) AS ls FROM md),
+lf_k AS (
+  SELECT doc_id, ls,
+         list_filter(range(len(ls)),
+           i -> list_position(ls, ls[i + 1]) = i + 1
+                AND (len(list_filter(string_split(ls[i + 1], ' '),
+                                     w -> w <> '')) >= 3
+                     OR starts_with(ls[i + 1], '#'))) AS kept
+  FROM lf_t
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       coalesce(array_to_string(list_transform(kept, i -> ls[i + 1]),
+                                chr(10)), '') AS clean_text
+FROM lf_k"""
     out["paragraph_dedup"] = MD_CTE + r""",
 p AS (
   SELECT doc_id, u.i - 1 AS pidx, prts[u.i] AS para

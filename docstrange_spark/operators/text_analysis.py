@@ -599,3 +599,54 @@ def char_entropy(
         F.size("alpha").cast("long").alias("n_distinct_chars"),
         F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6).alias("entropy"),
     )
+
+
+def line_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    keep_headings: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 — public
+    knowledge): drop lines with fewer than ``min_words`` words and
+    within-document exact duplicate lines (nav menus and footers repeat
+    inside a page), keeping markdown headings regardless when
+    ``keep_headings`` (C4's sentence-punctuation rule adapted to the
+    extracted-markdown surface). Returns (doc_id, n_lines,
+    n_kept_lines, clean_text) with kept lines re-joined by newline in
+    original order.
+
+    All in-row array work (split, indexed first-occurrence test via
+    ``array_position``, filter, join) — one zero-shuffle projection;
+    duplicate detection is O(lines²) per document, bounded by document
+    size.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    t = df.select(F.col(id_col).alias("doc_id"), lines.alias("ls"))
+    idx = F.sequence(F.lit(0), F.size("ls") - 1)
+
+    def line_at(i):
+        return F.element_at(F.col("ls"), i + 1)
+
+    def word_count(line):
+        return F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
+
+    def keeps(i):
+        line = line_at(i)
+        first = F.array_position(F.col("ls"), line) == i + 1
+        rule = word_count(line) >= F.lit(int(min_words))
+        if keep_headings:
+            rule = rule | line.startswith("#")
+        return first & rule
+
+    kept_idx = F.filter(idx, keeps)
+    return t.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size(kept_idx).cast("long").alias("n_kept_lines"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(F.col("ls"), i + 1)),
+            "\n",
+        ).alias("clean_text"),
+    )

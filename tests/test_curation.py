@@ -662,3 +662,21 @@ def test_top_vocabulary_two_phase_and_coverage(spark, docs):
         c.update(w for w in (r["text"] or "").lower().split(" ") if w)
     top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r["token"], r["cnt"]) for r in by_rank] == top
+
+
+def test_line_filters_rules(spark):
+    doc = "# Title\nshort\nthis line has enough words\nrepeat me now ok\nrepeat me now ok\nxy z"
+    df = spark.createDataFrame([(0, doc), (1, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_analysis.line_filters(df).collect()}
+    r = got[0]
+    assert r["n_lines"] == 6
+    # heading kept despite 2 words; 'short' dropped; duplicate line
+    # kept once; 'xy z' (2 words) dropped
+    assert r["clean_text"] == "# Title\nthis line has enough words\nrepeat me now ok"
+    assert r["n_kept_lines"] == 3
+    # empty doc: one empty line, dropped
+    assert got[1]["n_kept_lines"] == 0 and got[1]["clean_text"] == ""
+    # keep_headings=False drops the 2-word heading too
+    r2 = {x["doc_id"]: x for x in
+          text_analysis.line_filters(df, keep_headings=False).collect()}[0]
+    assert "# Title" not in r2["clean_text"]
