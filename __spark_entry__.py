@@ -443,6 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_pack_stats(spark, sf_dir):
+        # packing-efficiency rollup (fill rate / overflow fraction)
+        return curation.pack_stats(_docs(spark, sf_dir), budget=512, n_shards=64)
+
     def q_line_filters(spark, sf_dir):
         # C4-style line cleanup over the EXTRACTED markdown: short-line
         # drop (headings exempt) + within-doc exact line dedup
@@ -901,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_vocabulary": q_top_vocabulary,
         "text_knn": q_text_knn,
         "line_filters": q_line_filters,
+        "pack_stats": q_pack_stats,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -1912,6 +1917,33 @@ p AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # packing-efficiency rollup over the pack_batches assignment
+        "pack_stats": r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 64 AS shard,
+         len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT shard,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+           AS batch_id,
+         n_tokens
+  FROM t
+),
+pb AS (
+  SELECT shard, batch_id, sum(n_tokens) AS batch_tokens
+  FROM a GROUP BY shard, batch_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(batch_tokens) AS BIGINT) AS total_tokens,
+       round(sum(batch_tokens) / (count(*) * 512), 6) AS mean_fill,
+       round(sum(CASE WHEN batch_tokens > 512 THEN 1 ELSE 0 END)
+             / count(*), 6) AS frac_over_budget
+FROM pb""",
         # packed training sequences (budget=512, 16 shards)
         "materialize_batches": r"""
 WITH p AS (

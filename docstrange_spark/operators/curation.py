@@ -984,3 +984,41 @@ def top_vocabulary(
             F.round(F.col("_cum") / F.col("total"), 6).alias("cum_coverage"),
         )
     )
+
+
+def pack_stats(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency report for a ``pack_batches`` configuration —
+    the padding-waste number a training team checks before committing a
+    sequence length: ONE row with batch count, mean fill rate
+    (tokens / budget per batch), and the fraction of batches exceeding
+    the budget (each contains one document straddling the boundary).
+
+    One aggregation over the packing assignment (map-side combined);
+    ratios computed from exact integer sums.
+    """
+    a = pack_batches(
+        df, budget=budget, n_shards=n_shards, id_col=id_col, text_col=text_col
+    )
+    per_batch = a.groupBy("shard", "batch_id").agg(
+        F.sum("n_tokens").cast("long").alias("batch_tokens")
+    )
+    return per_batch.agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("batch_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("batch_tokens") / (F.count("*") * F.lit(int(budget))), 6
+        ).alias("mean_fill"),
+        F.round(
+            F.sum(
+                F.when(F.col("batch_tokens") > F.lit(int(budget)), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("frac_over_budget"),
+    )

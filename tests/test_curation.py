@@ -680,3 +680,18 @@ def test_line_filters_rules(spark):
     r2 = {x["doc_id"]: x for x in
           text_analysis.line_filters(df, keep_headings=False).collect()}[0]
     assert "# Title" not in r2["clean_text"]
+
+
+def test_pack_stats_consistency(spark, docs):
+    r = curation.pack_stats(docs, budget=300, n_shards=4).collect()[0]
+    a = curation.pack_batches(docs, budget=300, n_shards=4).collect()
+    batches = {}
+    for x in a:
+        batches[(x["shard"], x["batch_id"])] = batches.get(
+            (x["shard"], x["batch_id"]), 0
+        ) + x["n_tokens"]
+    assert r["n_batches"] == len(batches)
+    assert r["total_tokens"] == sum(batches.values())
+    over = sum(1 for v in batches.values() if v > 300)
+    assert abs(r["frac_over_budget"] - round(over / len(batches), 6)) < 1e-9
+    assert 0.0 < r["mean_fill"] < 2.0
