@@ -443,6 +443,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["spark", "window"], top_k=20
         )
 
+    def q_ann_recall(spark, sf_dir):
+        # "does the index work": recall@10 of BOTH LSH operating points
+        # vs the exact brute-force top-10 — the contract 8x8 point
+        # (low candidate volume, right for clustered corpora) and the
+        # low-selectivity 4 planes x 24 tables point the near-random
+        # synthetic corpus needs for high recall
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bf = similarity.knn_bruteforce(emb, [0, 1, 2, 3, 4], top_k=10).select(
+            "query_id", F.col("neighbor_id").alias("bf_neighbor")
+        )
+        base = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+
+        def recall_of(config, n_planes, n_tables):
+            lsh = similarity.knn_lsh(
+                emb, [0, 1, 2, 3, 4], top_k=10,
+                n_planes=n_planes, n_tables=n_tables,
+            ).select("query_id", "neighbor_id")
+            hits = lsh.join(
+                bf,
+                (lsh["query_id"] == bf["query_id"])
+                & (lsh["neighbor_id"] == bf["bf_neighbor"]),
+            ).groupBy(lsh["query_id"]).agg(F.count("*").alias("n_hits"))
+            return base.join(hits, "query_id", "left").select(
+                F.lit(config).alias("config"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+                F.col("n_true").cast("long").alias("n_true"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_true"), 6
+                ).alias("recall"),
+            )
+
+        return recall_of("p8_t8", 8, 8).unionByName(
+            recall_of("p4_t24", 4, 24)
+        )
+
+    def q_classifier_eval(spark, sf_dir):
+        # confusion matrix of the trained quality classifier vs its
+        # label — counts per (pred, label) cell
+        from docstrange_spark.operators import classifier
+
+        preds = classifier.quality_classifier(
+            _docs(spark, sf_dir), F.col("lang") == F.lit("en")
+        )
+        return preds.groupBy("pred", "label").agg(
+            F.count("*").cast("long").alias("n")
+        )
+
     def q_pack_stats(spark, sf_dir):
         # packing-efficiency rollup (fill rate / overflow fraction)
         return curation.pack_stats(_docs(spark, sf_dir), budget=512, n_shards=64)
@@ -906,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_knn": q_text_knn,
         "line_filters": q_line_filters,
         "pack_stats": q_pack_stats,
+        "ann_recall": q_ann_recall,
+        "classifier_eval": q_classifier_eval,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -2676,6 +2726,48 @@ SELECT doc_id, clean_text,
        CAST(n_phones AS BIGINT) AS n_phones,
        CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_redactions
 FROM s3"""
+    # the 4-planes x 24-tables variant re-parameterizes the SAME lsh
+    # SQL template (the series bounds are the only config surface)
+    lsh_4x24 = out["knn_lsh"].replace(
+        "generate_series(0, 7)) AS ut(t)", "generate_series(0, 23)) AS ut(t)"
+    ).replace(
+        "generate_series(0, 7)) AS up(p)", "generate_series(0, 3)) AS up(p)"
+    )
+    _recall_block = (
+        "hits AS (\n"
+        "  SELECT lshr.query_id, count(*) AS n_hits\n"
+        "  FROM lshr JOIN bfr ON bfr.query_id = lshr.query_id\n"
+        "                    AND bfr.neighbor_id = lshr.neighbor_id\n"
+        "  GROUP BY lshr.query_id),\n"
+        "base AS (SELECT query_id, count(*) AS n_true FROM bfr GROUP BY query_id)\n"
+    )
+
+    def _recall_select(cfg: str, lsh_cte: str) -> str:
+        return (
+            "SELECT '" + cfg + "' AS config, base.query_id,\n"
+            "       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,\n"
+            "       CAST(n_true AS BIGINT) AS n_true,\n"
+            "       round(coalesce(n_hits, 0) / n_true, 6) AS recall\n"
+            "FROM base LEFT JOIN hits USING (query_id)"
+        )
+
+    out["ann_recall"] = (
+        "WITH lshr AS (" + out["knn_lsh"] + "),\n"
+        "bfr AS (" + out["knn_bruteforce"] + "),\n"
+        + _recall_block
+        + _recall_select("p8_t8", "lshr")
+        + "\nUNION ALL\n"
+        + "SELECT * FROM (WITH lshr AS (" + lsh_4x24 + "),\n"
+        + "bfr AS (" + out["knn_bruteforce"] + "),\n"
+        + _recall_block
+        + _recall_select("p4_t24", "lshr")
+        + ")"
+    )
+    out["classifier_eval"] = (
+        "WITH preds AS (" + out["quality_classifier"] + ")\n"
+        "SELECT pred, label, CAST(count(*) AS BIGINT) AS n\n"
+        "FROM preds GROUP BY pred, label"
+    )
     out["line_filters"] = MD_CTE + r""",
 lf_t AS (SELECT doc_id, string_split(coalesce(markdown, ''), chr(10)) AS ls FROM md),
 lf_k AS (
