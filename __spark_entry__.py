@@ -491,6 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n")
         )
 
+    def q_source_mix(spark, sf_dir):
+        # per-source mixture monitoring (shares + mix entropy)
+        return curation.source_mix(_docs(spark, sf_dir))
+
     def q_pack_stats(spark, sf_dir):
         # packing-efficiency rollup (fill rate / overflow fraction)
         return curation.pack_stats(_docs(spark, sf_dir), budget=512, n_shards=64)
@@ -954,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_knn": q_text_knn,
         "line_filters": q_line_filters,
         "pack_stats": q_pack_stats,
+        "source_mix": q_source_mix,
         "ann_recall": q_ann_recall,
         "classifier_eval": q_classifier_eval,
         "proximity_search": q_proximity_search,
@@ -1967,6 +1972,27 @@ p AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
+        # per-source mixture report (shares + Shannon mix entropy)
+        "source_mix": r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                             x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per),
+sh AS (SELECT per.*, n_tokens / total_tokens AS token_share FROM per, tot),
+e AS (
+  SELECT round(0.0 - sum(CASE WHEN token_share > 0
+                  THEN token_share * ln(token_share) ELSE 0.0 END), 6)
+           AS mix_entropy
+  FROM sh
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(token_share, 6) AS token_share,
+       mix_entropy
+FROM sh, e""",
         # packing-efficiency rollup over the pack_batches assignment
         "pack_stats": r"""
 WITH t AS (

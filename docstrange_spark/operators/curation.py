@@ -1022,3 +1022,61 @@ def pack_stats(
             6,
         ).alias("frac_over_budget"),
     )
+
+
+def source_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source mixture report — the monitoring table behind domain
+    balancing decisions: each source's document and token counts, its
+    share of corpus tokens, and (same on every row, for a one-table
+    read) the Shannon entropy of the token mix in nats — a collapsing
+    mix shows up as entropy falling toward 0, a uniform one approaches
+    ln(n_sources).
+
+    One groupBy(source) with map-side combine; totals and the entropy
+    (a sum over the source-count table, tiny) join back as broadcast
+    scalars. Shares and entropy are computed from exact integer sums
+    and rounded 6 dp.
+    """
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(text_analysis.nonempty_tokens(text_col))
+            .cast("long")
+            .alias("nw"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("total_tokens")
+    )
+    ent = shared.agg(
+        F.round(
+            -F.sum(
+                F.when(
+                    F.col("token_share") > 0,
+                    F.col("token_share") * F.log("token_share"),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("mix_entropy")
+    )
+    return (
+        shared.crossJoin(F.broadcast(ent))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("token_share"), 6).alias("token_share"),
+            "mix_entropy",
+        )
+    )

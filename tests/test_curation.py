@@ -695,3 +695,20 @@ def test_pack_stats_consistency(spark, docs):
     over = sum(1 for v in batches.values() if v > 300)
     assert abs(r["frac_over_budget"] - round(over / len(batches), 6)) < 1e-9
     assert 0.0 < r["mean_fill"] < 2.0
+
+
+def test_source_mix_shares_and_entropy(spark, docs):
+    import math
+
+    out = curation.source_mix(docs).collect()
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-4
+    ent = out[0]["mix_entropy"]
+    assert all(r["mix_entropy"] == ent for r in out)
+    # 20 near-equal sources: entropy close to (and never above) ln(20)
+    assert 0.9 * math.log(20) < ent <= math.log(20) + 1e-9
+    # a single-source corpus has zero mix entropy
+    one = spark.createDataFrame(
+        [(i, "a b c", "only") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    assert curation.source_mix(one).collect()[0]["mix_entropy"] == 0.0
