@@ -491,6 +491,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n")
         )
 
+    def q_cluster_sizes(spark, sf_dir):
+        # duplication profile: histogram of near-dup cluster sizes
+        # ("how much of the corpus is duplicated, and how deeply")
+        c = dedup.dedup_clusters(_docs(spark, sf_dir))
+        sizes = c.groupBy("cluster_rep").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        ).select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+
     def q_source_mix(spark, sf_dir):
         # per-source mixture monitoring (shares + mix entropy)
         return curation.source_mix(_docs(spark, sf_dir))
@@ -959,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_filters": q_line_filters,
         "pack_stats": q_pack_stats,
         "source_mix": q_source_mix,
+        "cluster_sizes": q_cluster_sizes,
         "ann_recall": q_ann_recall,
         "classifier_eval": q_classifier_eval,
         "proximity_search": q_proximity_search,
@@ -2777,6 +2794,15 @@ FROM s3"""
             "FROM base LEFT JOIN hits USING (query_id)"
         )
 
+    out["cluster_sizes"] = (
+        "WITH cl AS (" + out["dedup_clusters"] + "),\n"
+        "sz AS (SELECT cluster_rep, count(*) AS cluster_size\n"
+        "       FROM cl GROUP BY cluster_rep)\n"
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size,\n"
+        "       CAST(count(*) AS BIGINT) AS n_clusters,\n"
+        "       CAST(sum(cluster_size) AS BIGINT) AS n_docs\n"
+        "FROM sz GROUP BY cluster_size"
+    )
     out["ann_recall"] = (
         "WITH lshr AS (" + out["knn_lsh"] + "),\n"
         "bfr AS (" + out["knn_bruteforce"] + "),\n"

@@ -712,3 +712,15 @@ def test_source_mix_shares_and_entropy(spark, docs):
         "doc_id long, text string, source string",
     )
     assert curation.source_mix(one).collect()[0]["mix_entropy"] == 0.0
+
+
+def test_cluster_sizes_partition_the_corpus(spark, docs):
+    from docstrange_spark.operators import dedup
+
+    n = dedup.dedup_clusters(docs).count()
+    import __spark_entry__ as em
+    hist = em.queries()["cluster_sizes"](spark, "/root/testdata/sf0.001").collect()
+    # histogram cells partition the clustered docs exactly
+    assert sum(r["n_docs"] for r in hist) == n
+    for r in hist:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
