@@ -2000,8 +2000,13 @@ WITH per AS (
 tot AS (SELECT sum(n_tokens) AS total_tokens FROM per),
 sh AS (SELECT per.*, n_tokens / total_tokens AS token_share FROM per, tot),
 e AS (
-  SELECT round(0.0 - sum(CASE WHEN token_share > 0
-                  THEN token_share * ln(token_share) ELSE 0.0 END), 6)
+  -- entropy terms quantized to integer nano-units before summing so
+  -- the cross-row sum is exact and accumulation-order independent,
+  -- mirroring the Spark side
+  SELECT round((0.0 - sum(CASE WHEN token_share > 0
+                  THEN CAST(round(token_share * ln(token_share) * 1e9)
+                            AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END)) / 1e9, 6)
            AS mix_entropy
   FROM sh
 )

@@ -161,6 +161,12 @@ def main(argv: list[str] | None = None) -> int:
         from docstrange_spark.session import get_spark
         from docstrange_spark.operators import retrieval
 
+        if not args.search.split():
+            # an empty/whitespace query has no terms to rank on — the
+            # same clean exit-2 convention as the other modes, not a
+            # ValueError traceback out of bm25_search
+            print("Error: --search query is empty", file=sys.stderr)
+            return 2
         spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
         hits = retrieval.bm25_search(
             spark.read.parquet(args.input),
@@ -195,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"Error: {e}", file=sys.stderr)
             return 2
-        print(summary)
+        print(json.dumps(summary))
         return 0
     if args.build_corpus:
         if args.out is None:
@@ -206,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
         summary = corpus.build_corpus(spark, args.input, args.out)
-        print(summary)
+        print(json.dumps(summary))
         return 0
     if (args.extract_fields or args.json_schema) and args.output_format != "json":
         print("Error: --extract-fields/--json-schema need --output-format json",
@@ -265,7 +271,7 @@ def main(argv: list[str] | None = None) -> int:
             lambda df: ex.extract(df, formats=fmts),
             snapshot_id=snap,
         )
-        print(summary)
+        print(json.dumps(summary))
         return 0
 
     out = ex.extract(src, formats=fmts)

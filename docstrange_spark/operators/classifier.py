@@ -195,7 +195,11 @@ def quality_classifier(
         F.coalesce(F.col("stopword_ratio"), F.lit(0.0)).alias("f1"),
         F.coalesce(F.col("punct_ratio"), F.lit(0.0)).alias("f2"),
         F.coalesce(F.col("mean_word_len") * F.lit(0.1), F.lit(0.0)).alias("f3"),
-        label_expr.cast("double").alias("y"),
+        # a NULL in label_expr's source column (e.g. NULL lang) must not
+        # train as a silent no-op: coalesce to 0.0 so the row counts as a
+        # negative, matching the oracle's CASE WHEN ... THEN 1 ELSE 0 END
+        # (SQL CASE maps a NULL predicate to the ELSE branch)
+        F.coalesce(label_expr.cast("double"), F.lit(0.0)).alias("y"),
     )
     zfeats, _, _ = standardize(feats, ["f1", "f2", "f3"])
     w = train_logreg(zfeats, ["f1", "f2", "f3"], "y", iters=iters, lr=lr)

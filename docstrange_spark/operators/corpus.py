@@ -58,6 +58,19 @@ DEFAULTS = dict(
     # oracle) is untouched
     scrub_pii=False,
     drop_paragraph_occurrences=None,
+    # LSH hot-bucket chain cap for the dedup stage. None (the oracle
+    # configuration) expands ALL pairs within a band bucket — exact,
+    # but quadratic in the largest bucket, so at web scale one
+    # degenerate bucket (boilerplate-heavy near-empty pages sharing a
+    # band) can dominate the job. The documented web-scale preset is
+    # max_bucket_size=1000: buckets above it emit a linear chain of
+    # adjacent pairs instead of all pairs (dedup.candidate_pairs), so
+    # verified clusters can split where a chain link fails exact-Jaccard
+    # — recall trades for a hard quadratic bound. This knob is part of
+    # the config fingerprint, so flipping it invalidates the committed
+    # dedup stage (and everything after) on resume, never silently
+    # mixes capped and uncapped candidate sets.
+    max_bucket_size=None,
 )
 
 
@@ -103,12 +116,20 @@ def _signals_stage(cdocs: DataFrame) -> DataFrame:
     return q.join(lang, "doc_id")
 
 
-def _dedup_stage(cdocs: DataFrame, jaccard_threshold: float) -> DataFrame:
-    # the ORACLE configuration (uncapped all-pairs candidates; see
-    # dedup.verified_clusters on why capping is not output-invariant
-    # under per-edge verification)
+def _dedup_stage(
+    cdocs: DataFrame,
+    jaccard_threshold: float,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    # max_bucket_size=None is the ORACLE configuration (uncapped
+    # all-pairs candidates; see dedup.verified_clusters on why capping
+    # is not output-invariant under per-edge verification). Production
+    # runs at scale set DEFAULTS['max_bucket_size'] (the web-scale
+    # preset) to bound the degenerate-bucket quadratic.
     return dedup.verified_clusters(
-        cdocs, jaccard_threshold=jaccard_threshold, max_bucket_size=None
+        cdocs,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -188,7 +209,9 @@ def corpus_plan(docs: DataFrame, materialize: bool = True, **overrides) -> DataF
         if materialize:
             cdocs = cdocs.localCheckpoint()
     signals = _signals_stage(cdocs)
-    clusters = _dedup_stage(cdocs, cfg["jaccard_threshold"])
+    clusters = _dedup_stage(
+        cdocs, cfg["jaccard_threshold"], cfg["max_bucket_size"]
+    )
     selected = _select_stage(
         cdocs,
         signals,
@@ -220,7 +243,24 @@ def _marker_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, f"_STAGE_{stage}.json")
 
 
+def _sentinel_path(out_dir: str, stage: str) -> str:
+    """Patch-in-flight sentinel (``update_corpus``): committed
+    atomically BEFORE the stage's data swap begins, cleared by
+    ``_commit_stage`` AFTER the new marker is durable. While present,
+    the stage's data may be old, new, or mid-swap — never trust it."""
+    return os.path.join(out_dir, f"_PATCHING_{stage}.json")
+
+
 def _stage_done(out_dir: str, stage: str, snapshot_id: str, config_fp: str) -> bool:
+    # a pending-patch sentinel means a swap was in flight when the
+    # process died: the marker (old or new) no longer vouches for the
+    # data underneath — treat as not done so the stage fully reruns
+    if os.path.exists(_sentinel_path(out_dir, stage)):
+        return False
+    # a marker with no data directory (kill between a patch's rmtree
+    # and rename, pre-sentinel legacy layout) is equally not done
+    if not os.path.isdir(os.path.join(out_dir, stage)):
+        return False
     p = _marker_path(out_dir, stage)
     if not os.path.isfile(p):
         return False
@@ -262,6 +302,13 @@ def _commit_stage(
     with open(tmp, "w") as f:
         json.dump(rec, f, indent=2)
     os.replace(tmp, p)
+    # clear any patch-in-flight sentinel ONLY after the new marker is
+    # durable: a kill between marker and sentinel removal leaves the
+    # stage conservatively 'not done' (it reruns — wasteful but safe);
+    # the reverse order would let an old marker vouch for patched data
+    sent = _sentinel_path(out_dir, stage)
+    if os.path.exists(sent):
+        os.remove(sent)
     with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
 
@@ -332,7 +379,10 @@ def build_corpus(
         done = stop_after == "signals"
     if not done:
         clusters = run_stage(
-            "dedup", lambda: _dedup_stage(cdocs, cfg["jaccard_threshold"])
+            "dedup",
+            lambda: _dedup_stage(
+                cdocs, cfg["jaccard_threshold"], cfg["max_bucket_size"]
+            ),
         )
         done = stop_after == "dedup"
     if not done:
@@ -382,12 +432,16 @@ def update_corpus(
     pass can additionally ride ``dedup.incremental_candidate_pairs``
     against a persisted band index when maintained separately).
 
-    The patched stage swaps in atomically for resume purposes: the new
-    parquet lands in a temp dir first, the swap happens before the
-    marker commit, and a kill anywhere in between leaves a marker that
-    does NOT match the new snapshot — the next run safely falls back to
-    a full re-extract. (Directory rename is the local-FS stand-in for
-    an Iceberg snapshot commit.)
+    The patch is a single logical transition guarded by a sentinel:
+    the new parquet lands in a temp dir, a ``_PATCHING_extract.json``
+    sentinel commits atomically, THEN the directory swap happens, THEN
+    the new marker commits (which clears the sentinel). A kill anywhere
+    between sentinel and marker leaves the sentinel in place, and
+    ``_stage_done`` treats a sentinel (or a missing data dir) as NOT
+    done — so a retry can never pass the stage guard against mid-swap
+    or already-patched data (which would double-apply the delta); it
+    falls back to a full re-extract instead. (Directory rename plus
+    sentinel is the local-FS stand-in for an Iceberg snapshot commit.)
 
     The invariant (pinned by test): ``update_corpus(old, new)`` output
     is IDENTICAL to ``build_corpus(new)`` from scratch.
@@ -399,6 +453,20 @@ def update_corpus(
     cfg = {**DEFAULTS, **overrides}
     config_fp = _config_fingerprint(cfg)
     old_snapshot = mf.snapshot_id_of(old_input)
+    if os.path.exists(_sentinel_path(out_dir, "extract")):
+        # a previous update died mid-swap: the extract data under the
+        # marker is untrustworthy (old, new, or missing). Recover by
+        # rebuilding from the NEW snapshot from scratch — build_corpus
+        # sees the sentinel via _stage_done, reruns extract fully, and
+        # its _commit_stage clears the sentinel. Output still equals
+        # build_corpus(new) — the pinned invariant — just without the
+        # incremental saving this once.
+        shutil.rmtree(
+            os.path.join(out_dir, "extract__patch"), ignore_errors=True
+        )
+        summary = build_corpus(spark, new_input, out_dir, **overrides)
+        summary["extract_patch"] = {"recovered_from_torn_patch": True}
+        return summary
     if not _stage_done(out_dir, "extract", old_snapshot, config_fp):
         raise ValueError(
             "update_corpus needs a committed extract stage for the OLD "
@@ -408,7 +476,14 @@ def update_corpus(
     new_snapshot = mf.snapshot_id_of(new_input)
     old_docs = spark.read.parquet(old_input)
     new_docs = spark.read.parquet(new_input)
-    delta = curation.corpus_diff(old_docs, new_docs)
+    # fingerprint text PLUS the metadata the extract stage caches
+    # (source, lang): a doc whose text is unchanged but whose source or
+    # lang was relabeled must re-extract, or the patched stage would
+    # feed per-source caps and lang-stratified sampling stale labels —
+    # breaking the identical-to-fresh-build invariant
+    delta = curation.corpus_diff(
+        old_docs, new_docs, meta_cols=("source", "lang")
+    )
     counts = {
         r["status"]: r["n"]
         for r in delta.groupBy("status").agg(F.count("*").alias("n")).collect()
@@ -430,6 +505,18 @@ def update_corpus(
         .unionByName(fresh)
     )
     patched.write.mode("overwrite").parquet(tmp)
+    # ---- the guarded transition: sentinel -> swap -> marker(+clear).
+    # The sentinel commits atomically (temp+rename) BEFORE any
+    # destructive step; from here until _commit_stage replaces the
+    # marker and clears it, _stage_done reports the stage not-done, so
+    # no retry can re-apply the patch on top of patched data.
+    sent = _sentinel_path(out_dir, "extract")
+    sent_tmp = sent + ".tmp"
+    with open(sent_tmp, "w") as f:
+        json.dump(
+            {"old_snapshot": old_snapshot, "new_snapshot": new_snapshot}, f
+        )
+    os.replace(sent_tmp, sent)
     shutil.rmtree(path)
     os.replace(tmp, path)
     out = spark.read.parquet(path)

@@ -838,6 +838,7 @@ def corpus_diff(
     new: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    meta_cols: tuple = (),
 ) -> DataFrame:
     """Snapshot diff between two corpus versions — the incremental-
     rebuild primitive: which documents were added, removed, or changed
@@ -852,12 +853,33 @@ def corpus_diff(
     bucketed.py``) the exchange disappears entirely. Unchanged
     documents are filtered out (the common case at web scale — keep
     the output delta-sized).
+
+    ``meta_cols`` folds additional columns into the fingerprint so a
+    document whose text is unchanged but whose metadata (source, lang)
+    was relabeled still reads as 'changed' — callers that cache
+    per-document derived state keyed by those columns (e.g.
+    ``corpus.update_corpus``'s patched extract stage, which feeds
+    source caps and lang-stratified sampling) MUST pass the columns
+    they cache, or the patch silently carries stale labels.
     """
-    norm = lambda c: F.md5(
-        F.regexp_replace(
+
+    def norm(c):
+        base = F.regexp_replace(
             F.lower(F.coalesce(F.col(c), F.lit(""))), r"\s+", " "
         )
-    )
+        if meta_cols:
+            # \x1f separator: unambiguous concat (can't alias a
+            # text/meta boundary shift), NULL metadata -> ''
+            base = F.concat_ws(
+                "\x1f",
+                base,
+                *[
+                    F.coalesce(F.col(m).cast("string"), F.lit(""))
+                    for m in meta_cols
+                ],
+            )
+        return F.md5(base)
+
     o = old.select(F.col(id_col).alias("doc_id"), norm(text_col).alias("fp_old"))
     n = new.select(F.col(id_col).alias("doc_id"), norm(text_col).alias("fp_new"))
     j = o.join(n, "doc_id", "full_outer")
@@ -1039,8 +1061,11 @@ def source_mix(
 
     One groupBy(source) with map-side combine; totals and the entropy
     (a sum over the source-count table, tiny) join back as broadcast
-    scalars. Shares and entropy are computed from exact integer sums
-    and rounded 6 dp.
+    scalars. Shares are exact ratios of integer sums; the entropy terms
+    are quantized to integer NANO-units before summing, so the
+    cross-row sum is an exact integer — independent of partition
+    accumulation order on either engine — then scaled back and rounded
+    6 dp (the same quant trick the micro-unit-summed operators use).
     """
     per = (
         df.select(
@@ -1064,9 +1089,13 @@ def source_mix(
             -F.sum(
                 F.when(
                     F.col("token_share") > 0,
-                    F.col("token_share") * F.log("token_share"),
-                ).otherwise(F.lit(0.0))
-            ),
+                    F.round(
+                        F.col("token_share") * F.log("token_share")
+                        * F.lit(1e9)
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / F.lit(1e9),
             6,
         ).alias("mix_entropy")
     )

@@ -230,13 +230,16 @@ def test_cli_build_corpus_runs_and_resumes(spark, tmp_path, capsys):
     rc = cli.main(["/root/testdata/sf0.001/documents.parquet",
                    "--build-corpus", "--out", out, "--cpus", "4"])
     assert rc == 0
-    first = capsys.readouterr().out
-    assert "'pack': 'ran'" in first
+    import json as _json
+
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["stages"]["pack"] == "ran"
     assert spark.read.parquet(f"{out}/pack").count() > 20
     rc = cli.main(["/root/testdata/sf0.001/documents.parquet",
                    "--build-corpus", "--out", out, "--cpus", "4"])
     assert rc == 0
-    assert "'pack': 'skipped'" in capsys.readouterr().out
+    again = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["stages"]["pack"] == "skipped"
     # flag validation: no --out is exit 2
     assert cli.main(["/root/testdata/sf0.001/documents.parquet",
                      "--build-corpus"]) == 2
@@ -253,6 +256,9 @@ def test_cli_search_and_report(spark, capsys):
     assert len(hits) == 3
     assert [h["rank"] for h in hits] == [1, 2, 3]
     assert hits[0]["score"] >= hits[1]["score"] >= hits[2]["score"]
+
+    # empty / whitespace-only query: clean exit-2, no traceback
+    assert cli.main([src, "--search", "   ", "--cpus", "4"]) == 2
 
     rc = cli.main([src, "--report", "--cpus", "4"])
     assert rc == 0
@@ -273,8 +279,11 @@ def test_cli_update_corpus_roundtrip(spark, tmp_path, capsys):
     capsys.readouterr()
     rc = cli.main([new_p, "--update-corpus", old_p, "--out", out, "--cpus", "4"])
     assert rc == 0
-    printed = capsys.readouterr().out
-    assert "extract_patch" in printed and "'skipped'" in printed
+    import json as _json
+
+    summ = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summ["extract_patch"]["n_added"] > 0
+    assert summ["stages"]["extract"] == "skipped"
     # refresh without a prior build is a clean exit-2 error
     assert cli.main([new_p, "--update-corpus", old_p,
                      "--out", str(tmp_path / "empty"), "--cpus", "4"]) == 2

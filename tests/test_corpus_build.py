@@ -173,3 +173,156 @@ def test_update_corpus_requires_prior_build(spark, tmp_path):
     docs = "/root/testdata/sf0.001/documents.parquet"
     with pytest.raises(ValueError):
         corpus.update_corpus(spark, docs, docs, str(tmp_path / "none"))
+
+
+def test_update_corpus_metadata_only_change(spark, tmp_path, docs_path):
+    """A document whose TEXT is unchanged but whose source was
+    relabeled must still count as 'changed' (corpus_diff fingerprints
+    metadata for update_corpus), re-extract, and carry the NEW source
+    into the per-source cap — output identical to a fresh build over
+    the new snapshot."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    old = docs
+    new = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("relabeled")).otherwise(
+            F.col("source")
+        ),
+    )
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(old_p)
+    new.write.parquet(new_p)
+
+    inc_dir, fresh_dir = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    corpus.build_corpus(spark, old_p, inc_dir)
+    s = corpus.update_corpus(spark, old_p, new_p, inc_dir)
+    assert s["extract_patch"]["n_changed"] > 0
+    assert s["extract_patch"]["n_added"] == 0
+    assert s["extract_patch"]["n_removed"] == 0
+
+    corpus.build_corpus(spark, new_p, fresh_dir)
+    for stage in ("extract", "select", "pack"):
+        a = _rows(spark, f"{inc_dir}/{stage}")
+        b = _rows(spark, f"{fresh_dir}/{stage}")
+        assert a == b, stage
+    # and the relabeled source actually reached the output
+    packed = spark.read.parquet(f"{inc_dir}/pack")
+    assert packed.where(F.col("source") == "relabeled").count() > 0
+
+
+def test_update_corpus_torn_patch_recovers(spark, tmp_path, docs_path):
+    """A kill between the patch's directory swap and the marker commit
+    leaves the _PATCHING sentinel behind. The retry must NOT pass the
+    stage guard and re-apply the delta on top of patched data (which
+    would duplicate 'added' docs) — it falls back to a full rebuild
+    from the NEW snapshot, clearing the sentinel, with output identical
+    to a fresh build."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(old_p)
+    docs.write.parquet(new_p)
+
+    out = str(tmp_path / "torn")
+    corpus.build_corpus(spark, old_p, out)
+
+    # simulate the worst window: the patched data ALREADY swapped in
+    # (new snapshot's extract under the old marker) but the marker
+    # commit never happened — sentinel still present
+    fresh_dir = str(tmp_path / "fresh")
+    corpus.build_corpus(spark, new_p, fresh_dir)
+    shutil.rmtree(os.path.join(out, "extract"))
+    shutil.copytree(
+        os.path.join(fresh_dir, "extract"), os.path.join(out, "extract")
+    )
+    sent = corpus._sentinel_path(out, "extract")
+    with open(sent, "w") as f:
+        f.write('{"old_snapshot": "x", "new_snapshot": "y"}')
+
+    # with the sentinel present the stage is NOT done, regardless of
+    # what the (stale) marker says
+    assert not corpus._stage_done(
+        out, "extract", "anything", "anything"
+    )
+
+    s = corpus.update_corpus(spark, old_p, new_p, out)
+    assert s["extract_patch"] == {"recovered_from_torn_patch": True}
+    assert s["stages"]["extract"] == "ran"  # full re-extract, no patch
+    assert not os.path.exists(sent)  # commit cleared the sentinel
+    for stage in ("extract", "select", "pack"):
+        assert _rows(spark, f"{out}/{stage}") == _rows(
+            spark, f"{fresh_dir}/{stage}"
+        ), stage
+    # a second update over the same snapshots now takes the normal
+    # (non-recovery) path and is a clean skip/refresh
+    s2 = corpus.update_corpus(spark, new_p, new_p, out)
+    assert s2["stages"]["extract"] == "skipped"
+
+
+def test_stage_done_missing_data_dir(spark, tmp_path, docs_path):
+    """A committed marker whose parquet directory is gone (kill between
+    a patch's rmtree and rename) must read NOT done and rerun."""
+    import shutil
+
+    out = str(tmp_path / "gone")
+    corpus.build_corpus(spark, docs_path, out, stop_after="extract")
+    shutil.rmtree(os.path.join(out, "extract"))
+    redo = corpus.build_corpus(spark, docs_path, out, stop_after="extract")
+    assert redo["stages"]["extract"] == "ran"
+
+
+def test_build_corpus_capped_dedup(spark, tmp_path, docs_path):
+    """The web-scale max_bucket_size preset reaches the capstone's
+    dedup stage. On a corpus with a degenerate LSH bucket (a block of
+    identical boilerplate docs) the cap engages — linear chain pairing
+    instead of quadratic all-pairs — and because every chain link
+    between identical texts passes exact-Jaccard verification, the
+    capped chain still yields the same verified clusters, so the
+    capped build's final output matches the uncapped one here. The
+    knob rides the config fingerprint, so flipping it invalidates
+    committed stages instead of silently mixing candidate sets."""
+    from pyspark.sql import functions as F
+
+    from docstrange_spark.operators import dedup
+
+    docs = spark.read.parquet(docs_path).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("identical boilerplate page repeated across the crawl "
+                  "with the same header and the same footer every time"),
+        ).otherwise(F.col("text")),
+    )
+    docs_p = str(tmp_path / "hot_docs")
+    docs.write.parquet(docs_p)
+
+    # the cap demonstrably engages: candidate pairs collapse from
+    # quadratic (C(100,2) within the identical block) to linear
+    uncapped = dedup.lsh_candidate_pairs(docs).count()
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket_size=10).count()
+    assert capped < uncapped
+
+    out_cap = str(tmp_path / "capped")
+    s = corpus.build_corpus(spark, docs_p, out_cap, max_bucket_size=10)
+    assert s["stages"]["pack"] == "ran"
+    out_full = str(tmp_path / "uncapped")
+    corpus.build_corpus(spark, docs_p, out_full)
+    assert _rows(spark, f"{out_cap}/pack") == _rows(spark, f"{out_full}/pack")
+    # the identical block deduplicated to one representative
+    packed = spark.read.parquet(f"{out_cap}/pack")
+    n_boiler = packed.join(
+        spark.read.parquet(f"{out_cap}/extract").where(
+            F.col("text").contains("identical boilerplate")
+        ).select("doc_id"),
+        "doc_id",
+    ).count()
+    assert n_boiler <= 1
+    # flipping the knob on an existing build dir invalidates stages
+    redo = corpus.build_corpus(spark, docs_p, out_cap, max_bucket_size=None)
+    assert redo["stages"]["extract"] == "ran"
