@@ -77,6 +77,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries
 
+# Driver-window ordering. The round driver records correctness rows for
+# roughly the FIRST 50 dict entries per round, so entries are ordered by
+# evidence need, not by theme: (a) queries that have never had a driver
+# correctness row (the round-4 retrieval/eval/report additions and this
+# round's new ones), (b) rows stale since round 2, (c) rows last checked
+# in round 3, (d) queries whose implementation changed this round, then
+# (e) the multiply-verified extraction/dedup core, which rotates out for
+# a round. Every key still appears exactly once and tests/
+# test_oracle_parity.py runs ALL of them locally regardless of order.
+_DRIVER_PRIORITY = [
+    # (a) never driver-checked
+    "build_corpus",
+    "bm25_search",
+    "inverted_index",
+    "term_search",
+    "phrase_search",
+    "proximity_search",
+    "text_knn",
+    "ann_recall",
+    "classifier_eval",
+    "materialize_batches",
+    "lsh_eval",
+    "ngram_counts",
+    "char_entropy",
+    "top_vocabulary",
+    "line_filters",
+    "pack_stats",
+    "source_mix",
+    "cluster_sizes",
+    "bigram_pmi",
+    "hashed_tf",
+    "embedding_quant",
+    "quant_error",
+    # (b) stale since round 2
+    "renditions",
+    "chunks",
+    "hierarchy",
+    "sessions",
+    "lineitem_pricing",
+    "top_customers",
+    "events_by_user",
+    # (c) last checked round 3
+    "doc_frequency",
+    "winnow",
+    "corpus_filter",
+    "lang_stats",
+    "lang_eval",
+    "source_quality",
+    "events_props",
+    "knn_bruteforce",
+    "knn_label_purity",
+    "knn_lsh",
+    "knn_ivf",
+    "embedding_dups",
+    # (d) implementation touched this round — re-verify
+    "quality_classifier",
+    "corpus_diff",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    ordered = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    ordered.update({k: v for k, v in d.items() if k not in ordered})
+    return ordered
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docstrange_spark.operators import (
@@ -912,7 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.hierarchy_kernel(md)
 
-    return {
+    return _driver_order({
         "extract_markdown": q_extract_markdown,
         "extract_sections": q_extract_sections,
         "extract_table_md": q_extract_table_md,
@@ -1004,7 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "renditions": q_renditions,
         "chunks": q_chunks,
         "hierarchy": q_hierarchy,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -3250,4 +3315,4 @@ SELECT doc_id, source, lang_guess, quality, split,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM kept"""
     )
-    return out
+    return _driver_order(out)
