@@ -110,6 +110,11 @@ _DRIVER_PRIORITY = [
     "hashed_tf",
     "embedding_quant",
     "quant_error",
+    # round-5 additions (also never driver-checked)
+    "simhash_pairs",
+    "ngram_decontaminate",
+    "temperature_mix",
+    "temperature_sample",
     # (b) stale since round 2
     "renditions",
     "chunks",
@@ -969,6 +974,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "html", "json", "csv", "html_gpu", "json_cloud"
         )
 
+    def q_simhash_pairs(spark, sf_dir):
+        # SimHash near-dup pairs (32-bit sig, 4 byte-bands, hamming<=3)
+        # over the corpus plus tail-mutated copies of every 11th doc so
+        # true near-duplicates exist to find
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") % 11 == 0)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near duplicate tail")).alias(
+                    "text"
+                ),
+            )
+        )
+        return dedup.simhash_pairs(docs.unionByName(dup))
+
+    def q_ngram_decontaminate(spark, sf_dir):
+        # word 8-gram benchmark decontamination: eval set = every 13th
+        # doc (a guaranteed-leaked benchmark), train = full corpus
+        docs = _docs(spark, sf_dir)
+        evald = docs.where(F.col("doc_id") % 13 == 0)
+        return curation.ngram_decontaminate(docs, evald, n=8)
+
+    def q_temperature_mix(spark, sf_dir):
+        # temperature-2 source rebalancing report (shares, target
+        # shares, per-source sampling rates)
+        return curation.temperature_mix(_docs(spark, sf_dir))
+
+    def q_temperature_sample(spark, sf_dir):
+        # the applied mix: deterministic per-source hash sampling at
+        # the temperature-rebalanced rates
+        return curation.temperature_sample(_docs(spark, sf_dir)).select(
+            "doc_id", "source", "sample_rate", "sample_u"
+        )
+
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.chunks_kernel(md, max_tokens=120).drop("titles")
@@ -1069,6 +1110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "renditions": q_renditions,
         "chunks": q_chunks,
         "hierarchy": q_hierarchy,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "temperature_mix": q_temperature_mix,
+        "temperature_sample": q_temperature_sample,
     })
 
 
@@ -1691,6 +1736,18 @@ _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
 )
 
+# 32-bit variant (simhash_pairs): first 8 md5 hex chars per token
+_SIMHASH32_VAL = " + ".join(
+    f"{_HEXV.format(p=p + 1)} * {16 ** (8 - 1 - p)}" for p in range(8)
+)
+_SIMHASH32_SUMS = ",\n  ".join(
+    f"sum(CASE WHEN CAST(floor(v / {2 ** b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32)
+)
+_SIMHASH32_BITS = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
+)
+
 _STOP = "('the','and','of','to','a','in','is','it','for','on')"
 _LANGS = {
     "en": "('the','and','of','is')",
@@ -1958,6 +2015,92 @@ SELECT doc_id, CAST("""
             + _SIMHASH_BITS
             + """ AS BIGINT) AS simhash FROM s"""
         ),
+        # SimHash near-dup pairs: 32-bit signature, 4 byte-bands,
+        # hamming <= 3, over corpus + tail-mutated every-11th copies
+        "simhash_pairs": (
+            r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate tail' AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM base
+),
+v AS (SELECT doc_id, """
+            + _SIMHASH32_VAL
+            + """ AS v FROM tok),
+s AS (SELECT doc_id, """
+            + _SIMHASH32_SUMS
+            + """ FROM v GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST("""
+            + _SIMHASH32_BITS
+            + r""" AS BIGINT) AS simhash FROM s),
+b AS (
+  SELECT doc_id, simhash, u.i AS band,
+         CAST(floor(simhash / power(256, u.i)) AS BIGINT) % 256 AS val
+  FROM sh, unnest([0, 1, 2, 3]) AS u(i)
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                  a.simhash AS sa, c.simhash AS sc
+  FROM b a JOIN b c ON a.band = c.band AND a.val = c.val
+                    AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sc)) AS BIGINT) AS hamming
+FROM p WHERE bit_count(xor(sa, sc)) <= 3"""
+        ),
+        # word 8-gram decontamination: eval = every 13th doc (leaked
+        # benchmark), train = full corpus
+        "ngram_decontaminate": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 8
+             THEN list_transform(range(len(toks) - 7),
+                    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+                         toks[i + 3] || ' ' || toks[i + 4] || ' ' ||
+                         toks[i + 5] || ' ' || toks[i + 6] || ' ' ||
+                         toks[i + 7] || ' ' || toks[i + 8])
+             ELSE []::VARCHAR[] END) AS gram
+    FROM t
+  )
+),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM g GROUP BY doc_id),
+hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+  FROM g JOIN eg USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_shared_ngrams, n_ngrams,
+       round(n_shared_ngrams / n_ngrams, 6) AS overlap_frac
+FROM hits JOIN per USING (doc_id)""",
+        # temperature-2 source mixture (sqrt smoothing, nano-unit
+        # normalizer so the tiny cross-source sum is order-exact)
+        "temperature_mix": r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS total FROM per),
+sh AS (
+  SELECT per.source, per.n_docs, tot.total,
+         per.n_docs / tot.total AS share,
+         CAST(round(sqrt(per.n_docs / tot.total) * 1e9) AS BIGINT) AS wq
+  FROM per, tot
+),
+nrm AS (SELECT sum(wq) AS wsum FROM sh)
+SELECT source, n_docs, round(share, 6) AS share,
+       round(wq / wsum, 6) AS target_share,
+       round(least(1.0, (wq / wsum) * total / n_docs), 6) AS sample_rate
+FROM sh, nrm""",
         "token_stats": r"""
 SELECT doc_id,
        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens_ws,
@@ -2772,6 +2915,19 @@ WHERE l.doc_id % 7 = 0 OR r.doc_id % 7 = 0"""
         "       CAST(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass\n"
         "FROM documents d JOIN (" + out["quality"] + ") q USING (doc_id)\n"
         "GROUP BY d.source"
+    )
+    out["temperature_sample"] = (
+        "WITH mix AS (" + out["temperature_mix"] + r"""),
+u AS (
+  SELECT d.doc_id, d.source,
+         ('0x' || substr(md5('tmix|' || coalesce(d.source, '') || '|'
+                             || CAST(d.doc_id AS VARCHAR)),
+                         1, 7))::BIGINT / 268435456.0 AS su
+  FROM documents d
+)
+SELECT u.doc_id, u.source, m.sample_rate, round(u.su, 6) AS sample_u
+FROM u JOIN mix m USING (source)
+WHERE u.su < m.sample_rate"""
     )
     out["stratified_sample"] = r"""
 WITH u AS (

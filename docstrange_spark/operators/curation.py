@@ -144,6 +144,148 @@ def decontaminate(
     )
 
 
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Word n-gram benchmark decontamination — the GPT-3 / FineWeb
+    13-gram practice (public knowledge), complementing the winnowing
+    variant (:func:`decontaminate`, which catches character-level
+    overlap): a training document is contaminated if any of its word
+    ``n``-grams appears in the eval/benchmark set. Returns one row per
+    contaminated training doc: (doc_id, n_shared_ngrams = distinct
+    shared grams, n_ngrams = the doc's distinct gram count,
+    overlap_frac rounded 6 dp).
+
+    Scale shape: eval grams are distinct + broadcast (a benchmark is
+    KBs next to a 100 TB corpus), so the training side never shuffles
+    for the join; the only exchange is the per-doc distinct/groupBy on
+    (doc_id, gram), map-side combinable. Lowercased whitespace tokens
+    via the shared ``word_ngrams`` builder — same gram space as
+    phrase search and the repetition signals.
+    """
+    def grams(df):
+        toks = text_analysis.nonempty_tokens(text_col)
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(text_analysis.word_ngrams(toks, n)).alias("gram"),
+        ).distinct()
+
+    train_g = grams(docs)
+    eval_g = grams(eval_docs).select("gram").distinct()
+    if broadcast_eval:
+        eval_g = F.broadcast(eval_g)
+    per_doc = train_g.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_ngrams")
+    )
+    hits = (
+        train_g.join(eval_g, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+    return hits.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_shared_ngrams",
+        "n_ngrams",
+        F.round(F.col("n_shared_ngrams") / F.col("n_ngrams"), 6).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixture — the multilingual/multi-source
+    rebalancing rule (T5 / mBERT exponential smoothing, public
+    knowledge): a source with document share ``p`` gets sampling weight
+    ``p^alpha`` (alpha < 1 upweights small sources), renormalized to
+    target shares; the per-source sampling rate resizes the mix back to
+    the corpus size. Returns one row per source: (source, n_docs,
+    share, target_share, sample_rate), shares rounded 6 dp.
+
+    alpha=0.5 (temperature 2) computes via ``sqrt`` — IEEE-exact on
+    both engines, unlike ``pow`` — and the weight normalizer sums
+    nano-unit integers so accumulation order can't move a rounded
+    digit. One tiny groupBy(source); the rate table broadcasts back to
+    an actual sampling pass (``md5(doc_id) < rate``, projection-only)
+    at any scale.
+    """
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    shared = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_docs") / F.col("total")
+    if alpha == 0.5:
+        w = F.sqrt(share)
+    else:
+        w = F.pow(share, F.lit(float(alpha)))
+    # nano-unit quantized weights: the normalizer is an exact integer
+    # sum, so target shares are order-independent on both engines
+    shared = shared.withColumn(
+        "_wq", F.round(w * F.lit(1e9)).cast("long")
+    )
+    norm = shared.agg(F.sum("_wq").alias("_wsum"))
+    out = shared.crossJoin(F.broadcast(norm))
+    target = F.col("_wq") / F.col("_wsum")
+    rate = F.least(
+        F.lit(1.0), target * F.col("total") / F.col("n_docs")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Apply the :func:`temperature_mix` rates: deterministically sample
+    each source at its temperature-rebalanced rate (membership is a
+    pure function of (salt, source, id) — same mechanism as
+    ``stratified_sample``, so it's stable across runs/machines and
+    reproducible in SQL). Returns the kept rows plus (sample_rate,
+    sample_u).
+
+    Scale shape: the rate table is sources-sized and broadcasts; the
+    sampling predicate is a pure projection evaluated inside the scan
+    stage — the only shuffle anywhere is temperature_mix's tiny
+    groupBy(source).
+    """
+    rates = temperature_mix(
+        df, alpha=alpha, id_col=id_col, source_col=source_col
+    ).select("source", "sample_rate")
+    u = _uniform_hash(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col(source_col).cast("string"), F.lit("")),
+            F.col(id_col).cast("string"),
+        ),
+        salt,
+    )
+    return (
+        df.join(F.broadcast(rates), df[source_col] == rates["source"])
+        .drop(rates["source"])
+        .withColumn("sample_u", F.round(u, 6))
+        .where(u < F.col("sample_rate"))
+    )
+
+
 def source_cap(
     df: DataFrame,
     per_source: int = 10,
@@ -992,7 +1134,13 @@ def top_vocabulary(
             .where(F.col("_r1") <= k)
             .drop("_shard", "_r1")
         )
-    w2 = Window.orderBy(*order)
+    # final re-rank runs on <= n_shards*k survivor rows BY CONSTRUCTION
+    # (each shard emitted at most k) — a bounded single-partition sort,
+    # not a global sort of the vocabulary. partitionBy(lit(0)) makes the
+    # boundedness explicit and silences Spark's "No Partition Defined
+    # for Window" warning, which would otherwise read as an
+    # all-data-to-one-partition red flag at scale (see PLANS.md).
+    w2 = Window.partitionBy(F.lit(0)).orderBy(*order)
     wcum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ranked.withColumn("rank", F.row_number().over(w2).cast("long"))

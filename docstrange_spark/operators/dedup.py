@@ -706,28 +706,99 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     first 4 hex chars of md5 decoded with portable string arithmetic
     (instr on a hex alphabet), so DuckDB reproduces it exactly. One
     shuffle; 16 conditional sums with map-side partials."""
+    return _simhash(df, 16, id_col=id_col, text_col=text_col)
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash (first 8 md5 hex chars per token) — the signature
+    ``simhash_pairs`` bands over: 8-bit bands give 256 buckets per band
+    instead of the 16-bit signature's 16, keeping band buckets
+    candidate-sized. Same portable hex arithmetic as :func:`simhash16`."""
+    return _simhash(df, 32, id_col=id_col, text_col=text_col)
+
+
+def _simhash(df: DataFrame, bits: int, id_col: str, text_col: str) -> DataFrame:
+    n_hex = bits // 4
     toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     t = df.select(F.col(id_col).alias("doc_id"), toks)
-    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
-    val = (
-        _hexval(F.substring(h4, 1, 1)) * 4096
-        + _hexval(F.substring(h4, 2, 1)) * 256
-        + _hexval(F.substring(h4, 3, 1)) * 16
-        + _hexval(F.substring(h4, 4, 1))
-    )
+    h = F.substring(F.md5(F.col("tok")), 1, n_hex)
+    val = None
+    for p in range(n_hex):
+        # long arithmetic: at 8 hex chars the place value (16^7) times a
+        # nibble overflows 32-bit ints under ANSI mode
+        term = _hexval(F.substring(h, p + 1, 1)).cast("long") * F.lit(
+            16 ** (n_hex - 1 - p)
+        ).cast("long")
+        val = term if val is None else val + term
     v = t.select("doc_id", val.alias("v"))
     bit_sums = [
         F.sum(
             F.when(F.floor(F.col("v") / (2**b)) % 2 == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(16)
+        for b in range(bits)
     ]
     agg = v.groupBy("doc_id").agg(*bit_sums)
     sim = None
-    for b in range(16):
+    for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+SIMHASH_BANDS = 4  # 32-bit simhash split into 4 byte-bands for pairing
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate candidate pairs, the second classic
+    near-dup family next to MinHash-LSH (Charikar 2002 / Manku et al.'s
+    simhash crawl-dedup, public knowledge): band the 32-bit
+    ``simhash32`` into 4 byte-bands, pair documents sharing ANY band
+    (pigeonhole: two signatures within hamming distance 3 must agree on
+    at least one of 4 bands), then verify by exact hamming distance
+    ``<= max_hamming``. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Scale shape: one simhash aggregation shuffle, then the shared
+    ``bucket_pairs`` band machinery (never all-pairs; ``max_bucket_size``
+    chain-caps degenerate bands exactly like the MinHash path), then an
+    id-keyed join back to the 1-row-per-doc signature table to compute
+    hamming JVM-side (``bit_count(xor)``) — candidate-sized, not
+    corpus-sized. At 10^12 docs a byte-band still buckets n/256 docs,
+    so production runs SET ``max_bucket_size`` (and would widen to a
+    64-bit signature with 6-7 bands — the machinery is
+    width-independent).
+    """
+    sigs = simhash32(df, id_col=id_col, text_col=text_col)
+    bands = sigs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (F.floor(F.col("simhash") / (256 ** b)) % 256).alias("v"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.v")
+    pairs = bucket_pairs(
+        bands, ["band", "v"], "doc_id", max_bucket_size=max_bucket_size
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(
+        F.col("sa").bitwiseXOR(F.col("sb"))
+    ).cast("long")
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def lsh_eval(

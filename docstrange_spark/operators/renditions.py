@@ -116,7 +116,12 @@ def combine_documents(extracted: DataFrame, fmt: str = "markdown") -> DataFrame:
     Returns a 1-row DataFrame. Deterministic: documents ordered by
     doc_id."""
     if fmt == "csv":
-        w = Window.orderBy("doc_id")
+        # single-output concat: every combine_documents call collapses
+        # to ONE row, so the global numbering window is inherently
+        # single-partition over the CLI's selected file set (bounded by
+        # what a user passes to combine, not the corpus); lit(0)
+        # silences the "No Partition Defined" warning
+        w = Window.partitionBy(F.lit(0)).orderBy("doc_id")
         numbered = extracted.select("doc_id", "csv").withColumn(
             "i", F.row_number().over(w)
         )

@@ -197,7 +197,12 @@ def bm25_search(
             .where(F.col("_r1") <= top_k)
             .drop("_shard", "_r1")
         )
-    w2 = Window.orderBy(*order)
+    # final re-rank runs on <= n_shards*top_k survivor rows BY
+    # CONSTRUCTION (each shard emitted at most top_k) — a bounded
+    # single-partition sort, not a global sort of the corpus scores.
+    # partitionBy(lit(0)) makes the boundedness explicit and silences
+    # the "No Partition Defined for Window" warning (see PLANS.md).
+    w2 = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= top_k)

@@ -145,6 +145,28 @@ PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
 
 
+def _pii_stages(text_col: str):
+    """(clean_text, n_emails, n_ips, n_phones) Columns for the ordered
+    redaction chain — shared by ``pii_scrub`` and the in-place
+    ``pii_scrub_text_expr``."""
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    n_em = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), 0))
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    n_ph = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return t3, n_em, n_ip, n_ph
+
+
+def pii_scrub_text_expr(text_col: str = "text"):
+    """The redacted text as a single Column expression — for swapping
+    the text column in place (``withColumn``) inside a larger plan,
+    e.g. the streaming clean stage, where a doc_id join back to the
+    ``pii_scrub`` projection would be a stream-stream join."""
+    return _pii_stages(text_col)[0]
+
+
 def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pre-training PII hygiene pass: redact emails, IPv4 addresses, and
     phone numbers with typed placeholder tokens (``<EMAIL>``/``<IP>``/
@@ -162,13 +184,7 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     exactly. Returns (doc_id, clean_text, n_emails, n_ips, n_phones,
     n_redactions).
     """
-    t0 = F.coalesce(F.col(text_col), F.lit(""))
-    n_em = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0))
-    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
-    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), 0))
-    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
-    n_ph = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0))
-    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    t3, n_em, n_ip, n_ph = _pii_stages(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         t3.alias("clean_text"),
@@ -622,31 +638,50 @@ def line_filters(
     duplicate detection is O(lines²) per document, bounded by document
     size.
     """
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    t = df.select(F.col(id_col).alias("doc_id"), lines.alias("ls"))
-    idx = F.sequence(F.lit(0), F.size("ls") - 1)
+    ls, kept_idx = _line_filter_cols(text_col, min_words, keep_headings)
+    t = df.select(
+        F.col(id_col).alias("doc_id"), ls.alias("ls"), kept_idx.alias("ki")
+    )
+    return t.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size("ki").cast("long").alias("n_kept_lines"),
+        F.array_join(
+            F.transform("ki", lambda i: F.element_at(F.col("ls"), i + 1)),
+            "\n",
+        ).alias("clean_text"),
+    )
 
-    def line_at(i):
-        return F.element_at(F.col("ls"), i + 1)
+
+def _line_filter_cols(text_col: str, min_words: int, keep_headings: bool):
+    """(lines array, kept-index array) Columns for the C4 line filter —
+    shared by ``line_filters`` and the in-place
+    ``line_filter_text_expr``."""
+    ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    idx = F.sequence(F.lit(0), F.size(ls) - 1)
 
     def word_count(line):
         return F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
 
     def keeps(i):
-        line = line_at(i)
-        first = F.array_position(F.col("ls"), line) == i + 1
+        line = F.element_at(ls, i + 1)
+        first = F.array_position(ls, line) == i + 1
         rule = word_count(line) >= F.lit(int(min_words))
         if keep_headings:
             rule = rule | line.startswith("#")
         return first & rule
 
-    kept_idx = F.filter(idx, keeps)
-    return t.select(
-        "doc_id",
-        F.size("ls").cast("long").alias("n_lines"),
-        F.size(kept_idx).cast("long").alias("n_kept_lines"),
-        F.array_join(
-            F.transform(kept_idx, lambda i: F.element_at(F.col("ls"), i + 1)),
-            "\n",
-        ).alias("clean_text"),
+    return ls, F.filter(idx, keeps)
+
+
+def line_filter_text_expr(
+    text_col: str = "text", min_words: int = 3, keep_headings: bool = True
+):
+    """The line-filtered text as a single Column expression — for
+    swapping the text column in place inside a larger plan (the
+    streaming clean stage), avoiding a doc_id join back to the
+    ``line_filters`` projection."""
+    ls, kept_idx = _line_filter_cols(text_col, min_words, keep_headings)
+    return F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at(ls, i + 1)), "\n"
     )

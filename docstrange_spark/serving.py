@@ -2,8 +2,11 @@
 analog of the reference's MCP server process
 (`/root/reference/mcp_server_module/server.py:339-533`): the same 11
 tools (parse / headers / search / section / summaries / full content /
-cache listing / info / hierarchy / chunks / chunk content), served over
-the MCP stdio transport (newline-delimited JSON-RPC 2.0).
+cache listing / info / hierarchy / chunks / chunk content) plus a 12th,
+corpus-level ``search_corpus`` (BM25 over the whole corpus — the
+engine's retrieval surface the reference's per-document server has no
+analog for, mirroring the CLI's ``--search``), served over the MCP
+stdio transport (newline-delimited JSON-RPC 2.0).
 
 Corpus-native addressing: where the reference parses one LOCAL FILE
 per call, this server navigates documents of a corpus — ``parse_document``
@@ -104,6 +107,20 @@ TOOLS: dict[str, tuple[str, dict, list[str]]] = {
          "max_tokens": {"type": "integer", "default": 4000}},
         ["corpus_path", "doc_id", "chunk_index"],
     ),
+    # corpus-level retrieval — beyond the reference's per-document
+    # server surface: BM25-rank the whole corpus for a query, the same
+    # engine path as the CLI's --search (retrieval.bm25_search, the
+    # oracle-checked `bm25_search` contract query)
+    "search_corpus": (
+        "BM25-rank the documents of a corpus for a query and return the "
+        "top hits (corpus-level retrieval, not within one document)",
+        {"corpus_path": {"type": "string",
+                         "description": "Documents-style parquet dir "
+                                        "(doc_id, text)"},
+         "query": {"type": "string", "description": "Search query"},
+         "top_k": {"type": "integer", "default": 10}},
+        ["corpus_path", "query"],
+    ),
 }
 
 
@@ -175,6 +192,24 @@ class DocServer:
         if name == "list_cached_documents":
             return {"cached_documents": sorted(self._cache),
                     "count": len(self._cache)}
+        if name == "search_corpus":
+            from docstrange_spark.operators import retrieval
+
+            terms = args["query"].split()
+            if not terms:
+                return {"error": "empty query"}
+            top_k = int(args.get("top_k", 10))
+            hits = retrieval.bm25_search(
+                self.spark.read.parquet(args["corpus_path"]),
+                terms,
+                top_k=top_k,
+            ).collect()  # bounded by top_k — never the corpus
+            return {"query": args["query"], "n_results": len(hits),
+                    "results": [
+                        {"rank": r["rank"], "doc_id": r["doc_id"],
+                         "score": r["score"]}
+                        for r in hits
+                    ]}
         doc = self._load(args["corpus_path"], str(args["doc_id"]))
         md_df = self._md_df(doc["doc_id"], doc["markdown"])
         if name == "parse_document":

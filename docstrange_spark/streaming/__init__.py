@@ -107,6 +107,43 @@ def streaming_first_seen(
     )
 
 
+def clean_stream(
+    docs: DataFrame,
+    min_words: int = 3,
+    scrub_pii: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """The text-hygiene clean chain as a streaming stage: C4-style line
+    filtering (short/duplicate lines dropped, headings kept) followed by
+    PII redaction, REPLACING ``text_col`` so downstream stages see
+    cleaned text — the streaming twin of ``corpus._clean_stage``'s
+    projection-only subset (paragraph-level dedup is cross-document and
+    stays batch).
+
+    Both operators are zero-shuffle projections, so they run UNCHANGED
+    on a ``readStream`` DataFrame — no watermark, no state; the batch
+    output is the golden answer (tests/test_functions_streaming.py).
+    The continuous-ingest shape: raw crawl docs land in the source
+    table, this stage cleans them in-flight, and the signal/dedup
+    stages consume the cleaned sink.
+    """
+    from docstrange_spark.operators import text_analysis
+
+    # in-place column swaps, not doc_id joins back to the operators'
+    # (doc_id, clean_text) projections — a stream-stream join would
+    # need watermarks; the *_text_expr forms are the same pure column
+    # expressions the oracle-checked batch operators are built from
+    out = docs.withColumn(
+        text_col,
+        text_analysis.line_filter_text_expr(text_col, min_words=min_words),
+    )
+    if scrub_pii:
+        out = out.withColumn(
+            text_col, text_analysis.pii_scrub_text_expr(text_col)
+        )
+    return out
+
+
 def run_to_parquet(
     extracted: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):

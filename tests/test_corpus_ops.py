@@ -521,3 +521,66 @@ def test_repetition_stats_values_and_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    """Identical docs pair at hamming 0; a one-token edit stays within
+    the hamming<=3 default; unrelated docs never pair. The
+    max_bucket_size chain cap engages on a degenerate identical block
+    without losing connectivity (identical sigs share every band)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup -> hamming 0
+        (3, base.replace("kappa", "lambda")),  # near dup
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert all(4 not in p for p in got)
+    # the pigeonhole guarantee: EVERY pair of signatures within hamming
+    # <= 3 must surface as a pair (4 byte-bands, 3 flipped bits can
+    # break at most 3 bands), and every reported hamming must equal the
+    # true signature distance
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(df).collect()}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 3:
+                assert (a, b) in got and got[(a, b)] == ham
+    for (a, b), ham in got.items():
+        assert ham == bin(sigs[a] ^ sigs[b]).count("1")
+
+    # degenerate block: 30 identical docs, cap at 5 -> chain pairing
+    # keeps the block connected with linearly many pairs
+    block = spark.createDataFrame(
+        [(i, base) for i in range(30)], "doc_id long, text string"
+    )
+    capped = dedup.simhash_pairs(block, max_bucket_size=5).collect()
+    uncapped_n = dedup.simhash_pairs(block).count()
+    assert 0 < len(capped) < uncapped_n
+    # chain connectivity: union-find over capped pairs -> one component
+    parent = list(range(30))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        parent[find(int(r["doc_a"]))] = find(int(r["doc_b"]))
+    assert len({find(i) for i in range(30)}) == 1
+
+
+def test_simhash32_matches_16_prefix_semantics(spark):
+    rows = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s32 = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(df).collect()}
+    assert all(0 <= v < 2**32 for v in s32.values())
+    assert s32[1] != s32[2]

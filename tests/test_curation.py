@@ -724,3 +724,77 @@ def test_cluster_sizes_partition_the_corpus(spark, docs):
     assert sum(r["n_docs"] for r in hist) == n
     for r in hist:
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_ngram_decontaminate_flags_leaks(spark):
+    """A training doc sharing an 8-gram with the benchmark is flagged
+    with the right distinct-gram counts; clean docs are absent."""
+    from pyspark.sql import functions as F
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, leak),  # verbatim leak
+            (2, "completely different text with nothing shared here at all ok"),
+            (3, "prefix words then " + leak),  # embedded leak
+            (4, "short"),  # < n tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in curation.ngram_decontaminate(train, evald, n=8).collect()
+    }
+    assert set(got) == {1, 3}
+    # doc 1 == the benchmark doc: every one of its 3 distinct 8-grams
+    # (10 tokens -> 3 grams) is shared
+    assert got[1]["n_ngrams"] == 3 and got[1]["n_shared_ngrams"] == 3
+    assert got[1]["overlap_frac"] == 1.0
+    # doc 3 carries the benchmark's grams plus its own prefix grams
+    assert got[3]["n_shared_ngrams"] == 3
+    assert got[3]["n_ngrams"] == 6 and got[3]["overlap_frac"] == 0.5
+
+
+def test_temperature_mix_rebalances_sources(spark):
+    """alpha=0.5 (temperature 2): a 90/10 split rebalances to 75/25
+    target shares; the small source's rate caps at 1.0 and the big
+    source downsamples."""
+    rows = [(i, "s_big" if i < 90 else "s_small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in curation.temperature_mix(df).collect()}
+    big, small = got["s_big"], got["s_small"]
+    assert big["n_docs"] == 90 and small["n_docs"] == 10
+    assert abs(big["share"] - 0.9) < 1e-9 and abs(small["share"] - 0.1) < 1e-9
+    # sqrt(0.9)=.948..., sqrt(0.1)=.316... -> targets .75/.25
+    assert abs(big["target_share"] - 0.75) < 1e-3
+    assert abs(small["target_share"] - 0.25) < 1e-3
+    assert small["sample_rate"] == 1.0  # capped: 0.25*100/10 = 2.5
+    assert abs(big["sample_rate"] - 0.75 * 100 / 90) < 1e-3
+    # alpha=1 is the identity mix (targets == shares)
+    ident = {
+        r["source"]: r for r in curation.temperature_mix(df, alpha=1.0).collect()
+    }
+    assert abs(ident["s_big"]["target_share"] - 0.9) < 1e-6
+
+
+def test_temperature_sample_applies_rates(spark):
+    """Sampling keeps ~rate fraction per source, membership is
+    deterministic, and a capped (rate=1.0) source keeps everything."""
+    rows = [(i, "s_big" if i < 900 else "s_small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = curation.temperature_sample(df).collect()
+    again = curation.temperature_sample(df).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in again
+    )
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    # small source capped at 1.0 -> all 100 kept
+    assert len(by_src["s_small"]) == 100
+    assert all(r["sample_rate"] == 1.0 for r in by_src["s_small"])
+    # big source downsampled at ~0.8333: hash-uniform within ~5 sigma
+    n_big = len(by_src["s_big"])
+    assert 0.70 * 900 < n_big < 0.95 * 900
+    assert all(r["sample_u"] < r["sample_rate"] for r in kept)

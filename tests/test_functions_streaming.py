@@ -311,3 +311,71 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
         got = sorted(map(tuple, spark.read.parquet(out).collect()))
         exp = sorted(map(tuple, op(docs).collect()))
         assert got == exp, name
+
+
+def test_clean_stream_matches_batch_chain(spark, tmp_path):
+    """streaming.clean_stream (C4 line filter -> PII scrub, text column
+    swapped in place) runs unchanged over readStream and its output
+    equals the batch operators' clean_text chain applied in sequence —
+    batch is the golden answer. Redactable PII is injected so the scrub
+    stage provably does work."""
+    from pyspark.sql import functions as F
+
+    from docstrange_spark import streaming
+    from docstrange_spark.operators import text_analysis
+
+    src = str(tmp_path / "clean_in")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit("\ncontact us at ops@example.com or 10.0.0.1\n"
+                          "short line\nrepeated footer line here today\n"
+                          "repeated footer line here today"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    )
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "clean_out")
+    ckpt = str(tmp_path / "clean_ckpt")
+    stream_df = streaming.clean_stream(
+        spark.readStream.schema(docs.schema).parquet(src)
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # golden: the batch operator chain (line_filters then pii_scrub on
+    # its clean_text), joined back on doc_id
+    lf = text_analysis.line_filters(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    golden = text_analysis.pii_scrub(lf).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    want = {r["doc_id"]: r["text"] for r in golden.collect()}
+    assert got == want
+    # the injected PII is actually gone, the duplicate/short lines too
+    injected = [t for d, t in got.items() if d % 9 == 0]
+    assert injected and all("ops@example.com" not in t for t in injected)
+    assert all("10.0.0.1" not in t for t in injected)
+    assert all(t.count("repeated footer line here today") == 1 for t in injected)
+    assert all("short line" not in t for t in injected)
+    # full-row passthrough: non-text columns survive the swap
+    assert set(spark.read.parquet(out).columns) == set(docs.columns)

@@ -39,7 +39,7 @@ def test_initialize_and_tool_listing(server):
     assert init["result"]["serverInfo"]["name"] == "docstrange_spark"
     listing = server.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/list"})
     names = {t["name"] for t in listing["result"]["tools"]}
-    assert names == set(TOOLS) and len(names) == 11
+    assert names == set(TOOLS) and len(names) == 12
     # notifications are silently accepted; unknown methods error
     assert server.handle({"jsonrpc": "2.0",
                           "method": "notifications/initialized"}) is None
@@ -155,3 +155,27 @@ def test_stdio_loop(server, corpus):
     assert [r["id"] for r in resps] == [1, 2]  # garbage + notification skipped
     info = json.loads(resps[1]["result"]["content"][0]["text"])
     assert info["n_sections"] >= 2
+
+
+def test_search_corpus_matches_cli_path(server, capsys):
+    """The corpus-level search_corpus tool answers from the same
+    retrieval.bm25_search kernel as the CLI's --search — identical
+    ranks, ids, and scores for the same query."""
+    from docstrange_spark import cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = _call(server, "search_corpus",
+                {"corpus_path": src, "query": "spark window", "top_k": 3})
+    assert out["n_results"] == 3
+    assert [h["rank"] for h in out["results"]] == [1, 2, 3]
+
+    assert cli.main([src, "--search", "spark window",
+                     "--top-k", "3", "--cpus", "4"]) == 0
+    cli_hits = [json.loads(l)
+                for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert out["results"] == cli_hits
+
+    # empty query: structured error, no traceback
+    err = _call(server, "search_corpus",
+                {"corpus_path": src, "query": "   "})
+    assert err == {"error": "empty query"}
