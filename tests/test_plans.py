@@ -51,3 +51,39 @@ def test_sections_relational_stays_jvm(spark):
     )
     df = navigation.sections_relational(md)
     assert plans.count_python_stages(df) == 0
+
+
+def test_simhash_pairs_plan_shape(docs):
+    """Signature agg + band bucket + two id joins; everything JVM-side
+    (no Python stage), and the scan never reads the unused columns."""
+    df = dedup.simhash_pairs(docs)
+    assert plans.count_python_stages(df) == 0
+    plans.assert_scan_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_ngram_decontaminate_broadcasts_eval(docs):
+    """The benchmark side must broadcast: the training scan joins
+    without shuffling for the eval grams."""
+    from docstrange_spark.operators import curation
+
+    evald = docs.where(F.col("doc_id") % 13 == 0)
+    df = curation.ngram_decontaminate(docs, evald, n=8)
+    assert "BroadcastExchange" in plans.executed_plan(df)
+    assert plans.count_python_stages(df) == 0
+
+
+def test_temperature_sample_projection_only_scan(docs):
+    """The sampling predicate is a projection over the scan joined to a
+    broadcast sources-sized rate table; no doc-keyed shuffle."""
+    from docstrange_spark.operators import curation
+
+    df = curation.temperature_sample(docs)
+    plan = plans.executed_plan(df)
+    assert "BroadcastExchange" in plan
+    assert plans.count_python_stages(df) == 0
+    # the only exchanges belong to the tiny groupBy(source) rate table,
+    # never a repartition of the documents themselves: the doc-side scan
+    # feeds the broadcast join directly
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan)
