@@ -115,6 +115,9 @@ _DRIVER_PRIORITY = [
     "ngram_decontaminate",
     "temperature_mix",
     "temperature_sample",
+    "dup_ngram_stats",
+    "dup_span_scrub",
+    "semantic_dedup",
     # (b) stale since round 2
     "renditions",
     "chunks",
@@ -1010,6 +1013,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source", "sample_rate", "sample_u"
         )
 
+    def q_dup_ngram_stats(spark, sf_dir):
+        # exact-substring-family dedup readout: per-doc duplicated
+        # 8-gram span coverage (Lee et al. 2021 semantics, relational)
+        return dedup.dup_ngram_stats(_docs(spark, sf_dir), n=8)
+
+    def q_dup_span_scrub(spark, sf_dir):
+        # the applied scrub: duplicated 8-gram spans removed, text
+        # rebuilt from the surviving token stream
+        return dedup.dup_span_scrub(_docs(spark, sf_dir), n=8)
+
+    def q_semantic_dedup(spark, sf_dir):
+        # SemDeDup over the embedding table plus deterministically
+        # jittered copies of every 10th vector (the known near-dups the
+        # prune must catch); keep-the-smallest-id greedy rule
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        dup = emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda v, i: v
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.001) * ((i % 5).cast("double") - F.lit(2.0))
+                ),
+            ).alias("embedding"),
+        )
+        return similarity.semantic_dedup(emb.unionByName(dup), tau=0.9)
+
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.chunks_kernel(md, max_tokens=120).drop("titles")
@@ -1114,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": q_ngram_decontaminate,
         "temperature_mix": q_temperature_mix,
         "temperature_sample": q_temperature_sample,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "dup_span_scrub": q_dup_span_scrub,
+        "semantic_dedup": q_semantic_dedup,
     })
 
 
@@ -3471,4 +3507,136 @@ SELECT doc_id, source, lang_guess, quality, split,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM kept"""
     )
+    # duplicate 8-gram span dedup (exact-substring family): shared
+    # occurrence CTEs — positions are 0-based over the nonempty-token
+    # stream, matching the Spark tokenizer
+    _DUPSPAN_CTE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS start,
+         toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' ||
+         toks[i + 4] || ' ' || toks[i + 5] || ' ' || toks[i + 6] || ' ' ||
+         toks[i + 7] || ' ' || toks[i + 8] AS gram
+  FROM t, unnest(CASE WHEN len(toks) >= 8 THEN range(len(toks) - 7)
+                      ELSE []::BIGINT[] END) AS u(i)
+),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+marked AS (SELECT occ.doc_id, occ.start FROM occ JOIN dup USING (gram)),
+per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, len(toks) - 7) AS BIGINT) AS n_grams
+  FROM t
+)"""
+    out["dup_ngram_stats"] = (
+        _DUPSPAN_CTE
+        + r""",
+cov AS (
+  SELECT doc_id,
+         greatest(0, start + 8 - greatest(start,
+           coalesce(max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS cv
+  FROM marked
+),
+per_dup AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         CAST(sum(cv) AS BIGINT) AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_grams,
+       coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(d.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN p.n_tokens > 0
+            THEN round(coalesce(d.dup_tokens, 0) / p.n_tokens, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM per_doc p LEFT JOIN per_dup d USING (doc_id)"""
+    )
+    out["dup_span_scrub"] = (
+        _DUPSPAN_CTE
+        + r""",
+pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM marked, unnest(range(start, start + 8)) AS u(p)
+),
+tk AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tk.doc_id,
+         string_agg(tk.tok, ' ' ORDER BY tk.p) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM tk LEFT JOIN pos ON pos.doc_id = tk.doc_id AND pos.p = tk.p
+  WHERE pos.doc_id IS NULL
+  GROUP BY tk.doc_id
+)
+SELECT p.doc_id, coalesce(k.clean_text, '') AS clean_text, p.n_tokens,
+       coalesce(k.kept_tokens, 0) AS kept_tokens,
+       p.n_tokens - coalesce(k.kept_tokens, 0) AS removed_tokens
+FROM per_doc p LEFT JOIN kept k USING (doc_id)"""
+    )
+    # SemDeDup: IVF-cell assignment (same md5 coarse quantizer as
+    # knn_ivf) over embeddings + jittered copies of every 10th vector;
+    # within-cell cosine >= 0.9 to a lower id drops the higher id
+    out["semantic_dedup"] = r"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(len(embedding)), i ->
+           CAST(embedding[i + 1] AS DOUBLE)
+           * (1.0 + 0.001 * CAST((i % 5) - 2 AS DOUBLE))) AS emb
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+ex AS (
+  SELECT vec_id, i, emb[i] AS v
+  FROM base, unnest(generate_series(1, len(emb))) AS u(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+cent AS (
+  SELECT c, i,
+         ('0x' || substr(md5('ivf|' || c || '|' || (i - 1)), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 15)) AS uc(c),
+       unnest(generate_series(1, 64)) AS ui(i)
+),
+dist AS (
+  SELECT e.vec_id, ct.c, sum(ct.w * ct.w) - 2 * sum(e.v * ct.w) AS d
+  FROM ex e JOIN cent ct ON ct.i = e.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b, sum(ea.v * eb.v) AS dot
+  FROM pairs p
+  JOIN ex ea ON ea.vec_id = p.id_a
+  JOIN ex eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d.id_b AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.9
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       (dr.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id"""
     return _driver_order(out)

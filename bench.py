@@ -153,6 +153,15 @@ def run_aux_queries(spark, sf_dir: str, out_path: str, runs: int = 1) -> dict[st
             docs.withColumn("is_target", F.col("lang") == F.lit("en")),
             n_buckets=1024,
         ).count(),
+        # round-5 additions, diagnostic rows: exact-substring-family
+        # dup-span coverage (gram explosion + corpus-wide count + span
+        # merge) and SemDeDup (IVF assignment + within-cell cosine)
+        "dup_span_dedup": lambda: dedup.dup_ngram_stats(docs, n=8)
+        .agg(F.sum("dup_tokens"))
+        .collect(),
+        "semantic_dedup": lambda: similarity.semantic_dedup(emb, tau=0.9)
+        .where(~F.col("keep"))
+        .count(),
     }
     times: dict[str, float] = {}
     for name, job in jobs.items():
@@ -1022,6 +1031,8 @@ def main() -> None:
         "build_corpus",
         "bm25_search",
         "dsir_weights",
+        "dup_span_dedup",
+        "semantic_dedup",
     }
     result = {
         "metric": "docs/sec extraction throughput",

@@ -884,3 +884,183 @@ def lsh_eval(
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram span dedup (exact-substring family)
+# ---------------------------------------------------------------------------
+# The relational re-expression of suffix-array exact-substring dedup
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" — public knowledge): instead of a monolithic suffix array,
+# fixed-length word n-grams are hashed and counted corpus-wide, and any
+# occurrence of a gram seen >= min_count times marks its n-token span
+# as duplicated. Overlapping spans are merged per document
+# (gaps-and-islands over a doc-partitioned window, so the state is
+# bounded by document length, never corpus size). This catches the
+# copy-paste boilerplate/license/navigation text that MinHash (whole-
+# document similarity) and paragraph dedup (exact paragraph hash) both
+# miss: a 30%-quoted document is unique at both of those granularities.
+#
+# Scale shape: the gram count is one map-side-combinable groupBy on the
+# gram string; marking is a shuffle hash join on gram (both sides huge
+# -> no broadcast); the span merge and scrub are per-doc windows. At
+# 100 TB the only super-linear risk would be a degenerate gram shared
+# by most documents — bounded, because each occurrence contributes at
+# most one row per (doc, start) regardless of the gram's corpus count.
+
+
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(doc_id, start, gram) for every word n-gram occurrence, start
+    0-based over the nonempty-token stream (the shared tokenizer used
+    by decontamination/phrase search, so gram spaces agree)."""
+    from . import text_analysis
+
+    toks = text_analysis.nonempty_tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    occ = base.select(
+        "doc_id",
+        F.posexplode(text_analysis.word_ngrams(F.col("toks"), n)).alias(
+            "start", "gram"
+        ),
+    )
+    return base, occ
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: (doc_id, n_tokens,
+    n_grams, n_dup_grams, dup_tokens, dup_fraction). A gram is
+    duplicated when its corpus-wide occurrence count (within-doc
+    repeats included, matching exact-substring semantics) reaches
+    ``min_count``; dup_tokens is the size of the UNION of the marked
+    n-token spans (overlaps merged via the doc-partitioned window), so
+    it never exceeds n_tokens."""
+    base, occ = _gram_occurrences(df, id_col, text_col, n)
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("occ_total"))
+        .where(F.col("occ_total") >= min_count)
+        .select("gram")
+    )
+    marked = occ.join(dup_grams, "gram")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("start") + n).over(w_prev)
+    covered = F.greatest(
+        F.lit(0),
+        F.col("start")
+        + F.lit(n)
+        - F.greatest(F.col("start"), F.coalesce(prev_end, F.lit(0))),
+    )
+    per_dup = (
+        marked.withColumn("cov", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.sum("cov").cast("long").alias("dup_tokens"),
+        )
+    )
+    per_doc = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0).cast("long"), F.size("toks") - F.lit(n - 1))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return per_doc.join(per_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+            "n_dup_grams"
+        ),
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias(
+            "dup_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long"))
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def dup_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every duplicated n-gram span and rebuild the text from
+    the surviving tokens: (doc_id, clean_text, n_tokens, kept_tokens,
+    removed_tokens). clean_text is the kept token stream re-joined with
+    single spaces (the tokenizer's normal form — whitespace runs do not
+    survive a token-level scrub). Docs whose every token is covered
+    come back with clean_text = ''.
+
+    The scrub works on distinct covered POSITIONS (explode each marked
+    span to its n positions, distinct) rather than merged intervals:
+    the per-doc position set is bounded by document length, and the
+    anti-join keeps token reassembly a single doc-keyed aggregation."""
+    base, occ = _gram_occurrences(df, id_col, text_col, n)
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("occ_total"))
+        .where(F.col("occ_total") >= min_count)
+        .select("gram")
+    )
+    marked = occ.join(dup_grams, "gram")
+    covered_pos = marked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tok_pos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = (
+        tok_pos.join(covered_pos, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("kept_tokens"),
+        )
+    )
+    per_doc = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return per_doc.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias(
+            "kept_tokens"
+        ),
+        (
+            F.col("n_tokens")
+            - F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
+        ).alias("removed_tokens"),
+    )

@@ -674,3 +674,91 @@ def quant_error(
         ).alias("mean_abs_err"),
         F.round(F.max("max_err"), 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate pruning (Abbas et al. 2023, public
+# knowledge) — cluster the embedding space coarsely, then drop, within
+# each cluster, every vector whose cosine to a LOWER-id cluster-mate
+# reaches tau. The coarse clustering is the IVF cell assignment above
+# (deterministic md5 centroids, so the DuckDB oracle reproduces it);
+# within-cell comparison is the bucketed pair join — never a global
+# all-pairs. At 100 TB the cluster count scales with the corpus (cells
+# ~ sqrt(N) in the paper's regime), keeping per-cell membership -- and
+# hence the quadratic within-cell term -- bounded; ``max_cell_size``
+# additionally chain-caps degenerate cells exactly like the LSH
+# hot-bucket defusal (linear output, trades pair recall).
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float = 0.9,
+    n_cells: int = 16,
+    centroids: np.ndarray | None = None,
+    max_cell_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per input vector: (vec_id, cell, keep). ``keep`` is
+    false iff some cluster-mate with a smaller id has
+    round(cosine, 4) >= tau — the deterministic keep-the-first rule
+    (smallest id survives each duplicate relation; no transitive
+    closure, matching SemDeDup's greedy prune)."""
+    from docstrange_spark.operators.dedup import bucket_pairs
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    if centroids is None:
+        probe = _probe_udf_lazy(n_cells, 1)
+    else:
+        probe = _probe_udf(centroids, 1)
+    assigned = base.withColumn(
+        "cell", F.element_at(probe(F.col("vec")), 1)
+    )
+    # fan-out point: the assignment feeds both the pair join (twice)
+    # and the output projection; without a checkpoint the pandas UDF
+    # would run three times
+    assigned = assigned.localCheckpoint(eager=False)
+    pairs = bucket_pairs(
+        assigned.select("cell", "vid"),
+        keys=["cell"],
+        id_col="vid",
+        max_bucket_size=max_cell_size,
+        out_a="vid_a",
+        out_b="vid_b",
+    )
+    va = assigned.select(
+        F.col("vid").alias("vid_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = assigned.select(
+        F.col("vid").alias("vid_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dropped = (
+        pairs.join(va, "vid_a")
+        .join(vb, "vid_b")
+        .where(
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            )
+            >= tau
+        )
+        .select(F.col("vid_b").alias("vid"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -685,3 +685,87 @@ def line_filter_text_expr(
     return F.array_join(
         F.transform(kept_idx, lambda i: F.element_at(ls, i + 1)), "\n"
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 200,
+    n_shards: int = 16,
+) -> DataFrame:
+    """First-iteration BPE merge statistics: corpus-wide counts of
+    adjacent SYMBOL (character) pairs within pre-tokenizer pieces —
+    the table whose argmax is byte-pair encoding's first merge (Sennrich
+    et al. 2016, public knowledge). Returns the top-``top_k`` rows as
+    (left_sym, right_sym, pair_count, rank), ordered by count desc with
+    (left_sym, right_sym) binary tie-break. Whitespace-run pieces count
+    like any other piece (they are tokens to a byte-level BPE).
+
+    Scale shape: identical pieces are collapsed FIRST (one groupBy on
+    the piece string — Zipf makes this the big reduction), then char
+    bigrams explode from the distinct-piece table weighted by piece
+    count; the global top-k is the same skew-safe two-phase sharded
+    rank as :func:`curation.top_vocabulary` (per-shard row_number <= k,
+    then a bounded re-rank over <= n_shards*k survivors)."""
+    from docstrange_spark.operators.curation import _md5_long28
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    pieces = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(BPE_PIECE_RE),
+                0,
+            )
+        ).alias("piece")
+    )
+    pc = pieces.groupBy("piece").agg(F.count("*").cast("long").alias("cnt"))
+    bigrams = pc.select(
+        F.explode(
+            F.when(
+                F.length("piece") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("piece") - 1),
+                    lambda i: F.struct(
+                        F.substring(F.col("piece"), i, 1).alias("left_sym"),
+                        F.substring(F.col("piece"), i + 1, 1).alias(
+                            "right_sym"
+                        ),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<left_sym:string,right_sym:string>>"
+                )
+            )
+        ).alias("bg"),
+        "cnt",
+    )
+    agg = (
+        bigrams.select("bg.left_sym", "bg.right_sym", "cnt")
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+    order = (F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    ranked = agg
+    if n_shards > 1:
+        w1 = Window.partitionBy("_shard").orderBy(*order)
+        ranked = (
+            ranked.withColumn(
+                "_shard",
+                _md5_long28(F.concat_ws("|", "left_sym", "right_sym"))
+                % n_shards,
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= top_k)
+            .drop("_shard", "_r1")
+        )
+    # bounded re-rank: <= n_shards*top_k survivor rows by construction
+    w2 = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("left_sym", "right_sym", "pair_count", "rank")
+    )

@@ -87,3 +87,29 @@ def test_temperature_sample_projection_only_scan(docs):
     import re
 
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan)
+
+
+def test_dup_ngram_stats_jvm_only_pruned(docs):
+    """Gram explosion, corpus count, span-merge window: all codegen —
+    a Python stage here would put per-row Python on the corpus's
+    hottest path — and the scan reads only doc_id + text."""
+    df = dedup.dup_ngram_stats(docs, n=8)
+    assert plans.count_python_stages(df) == 0
+    plans.assert_scan_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_dup_span_scrub_jvm_only(docs):
+    df = dedup.dup_span_scrub(docs, n=8)
+    assert plans.count_python_stages(df) == 0
+    plans.assert_scan_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_semantic_dedup_no_global_cross_join(spark):
+    """The within-cell pair join must be an equi-join on cell — a
+    BroadcastNestedLoopJoin would mean the all-pairs comparison
+    SemDeDup's clustering exists to avoid."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.semantic_dedup(emb, tau=0.9)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
