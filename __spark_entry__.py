@@ -1043,6 +1043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return similarity.semantic_dedup(emb.unionByName(dup), tau=0.9)
 
+    def q_bpe_pair_counts(spark, sf_dir):
+        # first-iteration BPE merge table: top-200 adjacent symbol
+        # pairs within pre-tokenizer pieces, corpus-weighted
+        return text_analysis.bpe_pair_counts(_docs(spark, sf_dir), top_k=200)
+
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.chunks_kernel(md, max_tokens=120).drop("titles")
@@ -1150,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "dup_span_scrub": q_dup_span_scrub,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_pair_counts": q_bpe_pair_counts,
     })
 
 
@@ -3639,4 +3645,31 @@ dropped AS (
 SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
        (dr.vec_id IS NULL) AS keep
 FROM assign a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id"""
+    # first-iteration BPE merge table: distinct pieces collapsed first,
+    # char bigrams weighted by piece count, global top-200
+    out["bpe_pair_counts"] = r"""
+WITH pieces AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+         ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS piece
+  FROM documents
+),
+pc AS (SELECT piece, count(*) AS cnt FROM pieces GROUP BY piece),
+bg AS (
+  SELECT substring(piece, CAST(i AS INT), 1) AS left_sym,
+         substring(piece, CAST(i AS INT) + 1, 1) AS right_sym, cnt
+  FROM pc, unnest(CASE WHEN length(piece) >= 2
+                       THEN range(1, length(piece))
+                       ELSE []::BIGINT[] END) AS u(i)
+),
+agg AS (
+  SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM bg GROUP BY left_sym, right_sym
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY pair_count DESC, left_sym,
+                               right_sym) AS rank
+  FROM agg
+)
+SELECT left_sym, right_sym, pair_count, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 200"""
     return _driver_order(out)

@@ -103,3 +103,22 @@ def test_semantic_dedup_chain_capped_cell(spark):
                                     max_cell_size=2)
     kept = sorted(r["vec_id"] for r in got.collect() if r["keep"])
     assert kept == [0]
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    from docstrange_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, "banana band"), (2, "ana")], ["doc_id", "text"]
+    )
+    rows = text_analysis.bpe_pair_counts(docs, top_k=10).collect()
+    got = [(r.left_sym, r.right_sym, r.pair_count, r.rank) for r in rows]
+    # pieces: "banana", " band", "ana"; weighted char bigrams:
+    # (a,n)=4, (n,a)=3, (b,a)=2, then (' ',b)=1 < (n,d)=1 binary order
+    assert got == [
+        ("a", "n", 4, 1),
+        ("n", "a", 3, 2),
+        ("b", "a", 2, 3),
+        (" ", "b", 1, 4),
+        ("n", "d", 1, 5),
+    ]
