@@ -58,6 +58,12 @@ DEFAULTS = dict(
     # oracle) is untouched
     scrub_pii=False,
     drop_paragraph_occurrences=None,
+    # duplicate n-gram span scrub (exact-substring family): when set to
+    # an n, token spans covered by a corpus-duplicated word n-gram are
+    # removed (dedup.dup_span_scrub) — note the scrubbed text is the
+    # tokenizer's normal form (single-space joined), which downstream
+    # signals/dedup/packing all tokenize identically anyway
+    scrub_dup_ngrams=None,
     # LSH hot-bucket chain cap for the dedup stage. None (the oracle
     # configuration) expands ALL pairs within a band bucket — exact,
     # but quadratic in the largest bucket, so at web scale one
@@ -92,16 +98,27 @@ def _clean_stage(
     cdocs: DataFrame,
     scrub_pii: bool,
     drop_paragraph_occurrences: int | None,
+    scrub_dup_ngrams: int | None = None,
 ) -> DataFrame:
     """Optional text-hygiene stage: drop cross-corpus boilerplate
-    paragraphs (CCNet) and/or redact PII, REPLACING the text column so
-    every downstream signal/dedup/packing stage sees cleaned text."""
+    paragraphs (CCNet), remove duplicated n-gram spans
+    (exact-substring family), and/or redact PII, REPLACING the text
+    column so every downstream signal/dedup/packing stage sees cleaned
+    text. Order: paragraph-level first (whole boilerplate blocks go
+    before gram counting, so mega-duplicated paragraphs don't dominate
+    the gram table), span-level second, PII redaction last (so
+    redaction tokens are never gram-matched)."""
     out = cdocs
     if drop_paragraph_occurrences is not None:
         ps = curation.paragraph_stats(
             out, max_occurrences=drop_paragraph_occurrences
         ).select("doc_id", F.col("clean_text").alias("_t"))
         out = out.join(ps, "doc_id").withColumn("text", F.col("_t")).drop("_t")
+    if scrub_dup_ngrams is not None:
+        ds = dedup.dup_span_scrub(out, n=scrub_dup_ngrams).select(
+            "doc_id", F.col("clean_text").alias("_t")
+        )
+        out = out.join(ds, "doc_id").withColumn("text", F.col("_t")).drop("_t")
     if scrub_pii:
         sc = text_analysis.pii_scrub(out).select(
             "doc_id", F.col("clean_text").alias("_t")
@@ -202,9 +219,16 @@ def corpus_plan(docs: DataFrame, materialize: bool = True, **overrides) -> DataF
     cdocs = _extract_stage(docs)
     if materialize:
         cdocs = cdocs.localCheckpoint()
-    if cfg["scrub_pii"] or cfg["drop_paragraph_occurrences"] is not None:
+    if (
+        cfg["scrub_pii"]
+        or cfg["drop_paragraph_occurrences"] is not None
+        or cfg["scrub_dup_ngrams"] is not None
+    ):
         cdocs = _clean_stage(
-            cdocs, cfg["scrub_pii"], cfg["drop_paragraph_occurrences"]
+            cdocs,
+            cfg["scrub_pii"],
+            cfg["drop_paragraph_occurrences"],
+            cfg["scrub_dup_ngrams"],
         )
         if materialize:
             cdocs = cdocs.localCheckpoint()
@@ -338,7 +362,11 @@ def build_corpus(
     from docstrange_spark.sources import manifest as mf
 
     cfg = {**DEFAULTS, **overrides}
-    clean_on = cfg["scrub_pii"] or cfg["drop_paragraph_occurrences"] is not None
+    clean_on = (
+        cfg["scrub_pii"]
+        or cfg["drop_paragraph_occurrences"] is not None
+        or cfg["scrub_dup_ngrams"] is not None
+    )
     allowed = STAGES[:1] + (("clean",) if clean_on else ()) + STAGES[1:]
     if stop_after is not None and stop_after not in allowed:
         raise ValueError(f"stop_after must be one of {allowed} (got {stop_after!r})")
@@ -370,7 +398,10 @@ def build_corpus(
         cdocs = run_stage(
             "clean",
             lambda: _clean_stage(
-                cdocs, cfg["scrub_pii"], cfg["drop_paragraph_occurrences"]
+                cdocs,
+                cfg["scrub_pii"],
+                cfg["drop_paragraph_occurrences"],
+                cfg["scrub_dup_ngrams"],
             ),
         )
         done = stop_after == "clean"

@@ -8,7 +8,7 @@ import os
 
 import pytest
 
-from docstrange_spark.operators import corpus
+from docstrange_spark.operators import corpus, dedup
 
 SF = "/root/testdata/sf0.001"
 
@@ -326,3 +326,64 @@ def test_build_corpus_capped_dedup(spark, tmp_path, docs_path):
     # flipping the knob on an existing build dir invalidates stages
     redo = corpus.build_corpus(spark, docs_p, out_cap, max_bucket_size=None)
     assert redo["stages"]["extract"] == "ran"
+
+
+def test_optional_dup_ngram_scrub_stage(spark, tmp_path, docs_path):
+    """scrub_dup_ngrams wires the exact-substring span scrub into the
+    clean stage: duplicated 8-gram spans vanish from the extracted
+    text, so surviving docs' packed token counts can only shrink; the
+    staged job commits a 'clean' stage and resumes it."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    base_toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus.corpus_plan(docs).collect()
+    }
+    scrubbed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus.corpus_plan(docs, scrub_dup_ngrams=8).collect()
+    }
+    common = [d for d in scrubbed if d in base_toks]
+    assert common
+    assert all(scrubbed[d] <= base_toks[d] for d in common)
+    # the tiny-vocabulary synthetic corpus is dense in duplicated
+    # 8-grams — but heavily-duplicated docs are ~FULLY covered, so the
+    # scrub empties them and they drop at the quality gate rather than
+    # surviving with fewer tokens. The observable plan-level effect is
+    # a changed survivor set (or a shrunk common survivor, if any).
+    assert set(scrubbed) != set(base_toks) or any(
+        scrubbed[d] < base_toks[d] for d in common
+    )
+    # the scrub itself strictly removes tokens on this corpus
+    removed = (
+        dedup.dup_span_scrub(corpus._extract_stage(docs), n=8)
+        .agg(F.sum("removed_tokens").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert removed > 0
+
+    out = str(tmp_path / "with_span_scrub")
+    s = corpus.build_corpus(spark, docs_path, out, scrub_dup_ngrams=8)
+    assert s["stages"]["clean"] == "ran" and s["stages"]["pack"] == "ran"
+    again = corpus.build_corpus(spark, docs_path, out, scrub_dup_ngrams=8)
+    assert again["stages"]["clean"] == "skipped"
+    # the committed clean stage holds the scrubbed text: no duplicated
+    # 8-gram may survive ACROSS the cleaned corpus with count >= 2
+    cleaned = spark.read.parquet(os.path.join(out, "clean"))
+    resid = (
+        dedup.dup_ngram_stats(cleaned, n=8)
+        .agg(F.sum("n_dup_grams").alias("s"))
+        .collect()[0]["s"]
+    )
+    # scrubbing once is not a fixed point in general (removing spans
+    # can create NEW adjacencies), but it must strictly reduce the
+    # duplicated-gram mass on this corpus
+    before = (
+        dedup.dup_ngram_stats(
+            spark.read.parquet(os.path.join(out, "extract")), n=8
+        )
+        .agg(F.sum("n_dup_grams").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert resid < before
