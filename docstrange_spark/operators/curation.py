@@ -1136,10 +1136,10 @@ def top_vocabulary(
         )
     # final re-rank runs on <= n_shards*k survivor rows BY CONSTRUCTION
     # (each shard emitted at most k) — a bounded single-partition sort,
-    # not a global sort of the vocabulary. partitionBy(lit(0)) makes the
-    # boundedness explicit and silences Spark's "No Partition Defined
-    # for Window" warning, which would otherwise read as an
-    # all-data-to-one-partition red flag at scale (see PLANS.md).
+    # not a global sort of the vocabulary. partitionBy(lit(0)) marks the
+    # intent in the source; Catalyst folds the constant away, so the
+    # "No Partition Defined for Window" warning is instead demoted at
+    # the logger in session.get_spark (see PLANS.md).
     w2 = Window.partitionBy(F.lit(0)).orderBy(*order)
     wcum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (

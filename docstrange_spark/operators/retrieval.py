@@ -200,8 +200,9 @@ def bm25_search(
     # final re-rank runs on <= n_shards*top_k survivor rows BY
     # CONSTRUCTION (each shard emitted at most top_k) — a bounded
     # single-partition sort, not a global sort of the corpus scores.
-    # partitionBy(lit(0)) makes the boundedness explicit and silences
-    # the "No Partition Defined for Window" warning (see PLANS.md).
+    # partitionBy(lit(0)) marks the intent in the source; Catalyst
+    # folds the constant away, so the warning is demoted at the logger
+    # in session.get_spark (see PLANS.md).
     w2 = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w2).cast("long"))

@@ -79,4 +79,21 @@ def get_spark(
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # The only unpartitioned windows in this engine are the phase-2
+    # re-ranks of the two-phase sharded top-k pattern, which operate on
+    # <= n_shards*k survivor rows BY CONSTRUCTION (see PLANS.md). Spark
+    # still logs "No Partition Defined for Window" for them — a
+    # constant partition key like lit(0) is folded away by Catalyst, so
+    # the warning cannot be avoided at the query level. Demote that
+    # one logger so the benign bounded case doesn't read as an
+    # all-data-to-one-partition red flag in operator logs; genuinely
+    # unbounded global windows are forbidden by the repo's plan audit.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.log4j.Logger.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        ).setLevel(jvm.org.apache.log4j.Level.ERROR)
+    except Exception:
+        pass  # private bridge; cosmetic only — never fail session setup
+    return spark
