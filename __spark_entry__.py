@@ -1048,6 +1048,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs within pre-tokenizer pieces, corpus-weighted
         return text_analysis.bpe_pair_counts(_docs(spark, sf_dir), top_k=200)
 
+    def q_bigram_logprob(spark, sf_dir):
+        # add-0.5-smoothed bigram LM score — the KenLM-style
+        # perplexity-filter signal one order up from unigram_logprob
+        return curation.bigram_logprob(_docs(spark, sf_dir))
+
+    def q_oov_rate(spark, sf_dir):
+        # coverage of the corpus's own top-50 vocabulary (small k so
+        # the synthetic corpus exercises the nonzero-OOV path)
+        return curation.oov_rate(_docs(spark, sf_dir), k=50)
+
+    def q_source_overlap(spark, sf_dir):
+        # cross-source word-8-gram contamination matrix
+        return curation.source_overlap(_docs(spark, sf_dir))
+
+    def q_kmeans_step(spark, sf_dir):
+        # one Lloyd iteration from the md5 seed centroids: per-cell
+        # membership, mean squared distance, M-step centroid shift
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.kmeans_step(emb)
+
+    def q_embedding_project(spark, sf_dir):
+        # JL random projection 64 -> 16 dims, JVM-side fold
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.embedding_project(emb)
+
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.chunks_kernel(md, max_tokens=120).drop("titles")
@@ -1156,6 +1181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_scrub": q_dup_span_scrub,
         "semantic_dedup": q_semantic_dedup,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bigram_logprob": q_bigram_logprob,
+        "oov_rate": q_oov_rate,
+        "source_overlap": q_source_overlap,
+        "kmeans_step": q_kmeans_step,
+        "embedding_project": q_embedding_project,
     })
 
 
@@ -3672,4 +3702,161 @@ rk AS (
 )
 SELECT left_sym, right_sym, pair_count, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 200"""
+    # add-0.5-smoothed bigram LM: logP(w2|w1) = ln((c2+a)/(c1_hist+a*V)),
+    # perplexity from the 6-dp-rounded mean so both engines agree exactly
+    out["bigram_logprob"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+hist AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+scored AS (
+  SELECT bg.doc_id,
+         ln((c2.c2 + 0.5) / (hist.c1 + 0.5 * voc.v)) AS lp
+  FROM bg JOIN c2 USING (w1, w2) JOIN hist USING (w1), voc
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS mean_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob,
+       round(exp(-mean_logprob), 4) AS perplexity
+FROM per"""
+    # top-50 vocabulary coverage: same count-desc/token-asc order as the
+    # two-phase top_vocabulary (phase union's top-k == global top-k)
+    out["oov_rate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS r
+    FROM freq
+  ) WHERE r <= 50
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS oov_frac
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY t.doc_id"""
+    # cross-source distinct word-8-gram overlap (pairs sharing >= 1 gram)
+    out["source_overlap"] = r"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) >= 8
+             THEN list_transform(range(len(toks) - 7),
+                    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+                         toks[i + 3] || ' ' || toks[i + 4] || ' ' ||
+                         toks[i + 5] || ' ' || toks[i + 6] || ' ' ||
+                         toks[i + 7] || ' ' || toks[i + 8])
+             ELSE []::VARCHAR[] END) AS gram
+    FROM t
+  )
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS common_grams
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, ta.n AS grams_a, tb.n AS grams_b, common_grams,
+       round(common_grams / (ta.n + tb.n - common_grams), 6) AS jaccard,
+       round(common_grams / least(ta.n, tb.n), 6) AS containment
+FROM pairs
+JOIN tot ta ON ta.source = source_a
+JOIN tot tb ON tb.source = source_b"""
+    # one Lloyd iteration from the md5 seed centroids (same cent CTE as
+    # knn_ivf); dist ranks identically to the UDF's cn - 2*dot because
+    # the ||x||^2 term is constant per vector
+    out["kmeans_step"] = r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+xn AS (SELECT vec_id, sum(v * v) AS xn FROM ex GROUP BY vec_id),
+cent AS (
+  SELECT c, i,
+         ('0x' || substr(md5('ivf|' || c || '|' || (i - 1)), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 15)) AS uc(c),
+       unnest(generate_series(1, 64)) AS ui(i)
+),
+cn AS (SELECT c, sum(w * w) AS cn FROM cent GROUP BY c),
+dt AS (
+  SELECT e.vec_id, ct.c, sum(e.v * ct.w) AS d
+  FROM ex e JOIN cent ct ON ct.i = e.i GROUP BY 1, 2
+),
+dist AS (
+  SELECT dt.vec_id, dt.c, xn.xn - 2 * dt.d + cn.cn AS dist
+  FROM dt JOIN xn USING (vec_id) JOIN cn ON cn.c = dt.c
+),
+assign AS (
+  SELECT vec_id, c AS cell, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a.cell, e.i, avg(e.v) AS m
+  FROM assign a JOIN ex e USING (vec_id) GROUP BY 1, 2
+),
+shift AS (
+  SELECT m.cell,
+         round(sqrt(sum((m.m - ct.w) * (m.m - ct.w))), 6) AS shift
+  FROM means m JOIN cent ct ON ct.c = m.cell AND ct.i = m.i
+  GROUP BY m.cell
+),
+stats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(dist), 6) AS mean_dist
+  FROM assign GROUP BY cell
+)
+SELECT CAST(s.cell AS INTEGER) AS cell, s.n_vecs, s.mean_dist, sh.shift
+FROM stats s JOIN shift sh ON sh.cell = s.cell"""
+    # JL projection y = P x with the md5 'proj' planes, 4-dp rounded
+    out["embedding_project"] = r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+planes AS (
+  SELECT j, i,
+         ('0x' || substr(md5('proj|' || j || '|' || (i - 1)), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 15)) AS uj(j),
+       unnest(generate_series(1, 64)) AS ui(i)
+),
+comp AS (
+  SELECT e.vec_id, p.j, round(sum(e.v * p.w), 4) AS y
+  FROM ex e JOIN planes p ON p.i = e.i GROUP BY 1, 2
+)
+SELECT vec_id, list(y ORDER BY j) AS proj
+FROM comp GROUP BY vec_id"""
     return _driver_order(out)

@@ -490,6 +490,210 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_hist: bool = True,
+) -> DataFrame:
+    """Bigram language-model score per document — the next step up
+    from :func:`unigram_logprob` toward the KenLM-style perplexity
+    filter of CCNet (Wenzek et al. 2020, public knowledge): add-alpha
+    smoothed P(w2|w1) under the corpus's own transition counts,
+
+        logP(w2|w1) = ln((c(w1 w2) + alpha) / (c_hist(w1) + alpha*V))
+
+    with c_hist(w1) the count of w1 as a bigram HISTORY (occurrences
+    excluding document-final positions, so each conditional sums to 1
+    over the smoothed vocabulary) and V the corpus vocabulary size.
+    Returns (doc_id, n_bigrams, mean_logprob, perplexity) for every
+    document with >= 2 tokens; perplexity = exp(-mean) computed from
+    the 6-dp-rounded mean so the two engines agree bit-for-bit.
+
+    Scale shape: the bigram count table is corpus-transition-sized, so
+    its re-join is a plain shuffle join on (w1, w2) — correctly NOT
+    broadcast; the history table is vocabulary-sized and broadcasts by
+    default (``broadcast_hist=False`` for an over-large vocabulary);
+    V joins as a broadcast scalar. The bigram stream itself is built
+    in-projection from the token array (zero extra shuffle before the
+    counting groupBys).
+    """
+    toks = text_analysis.nonempty_tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    # ordered bigrams in-projection; sequence(2, 1) would DESCEND, so
+    # short docs must map to an empty array explicitly
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.struct(
+                F.element_at("toks", i - 1).alias("w1"),
+                F.element_at("toks", i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    hist = bg.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    if broadcast_hist:
+        hist = F.broadcast(hist)
+    vocab = (
+        base.select(F.explode("toks").alias("token"))
+        .agg(F.countDistinct("token").cast("long").alias("v"))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c2") + F.lit(float(alpha)))
+                / (F.col("c1") + F.lit(float(alpha)) * F.col("v"))
+            ),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logprob",
+        F.round(F.exp(-F.col("mean_logprob")), 4).alias("perplexity"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``k`` vocabulary — the tokenizer-coverage twin of
+    :func:`top_vocabulary`: how much of each document a k-entry vocab
+    would render as <unk>. High-OOV documents are gibberish, foreign
+    text, or code — the same tail LM-data pipelines route to special
+    handling. Returns (doc_id, n_tokens, n_oov, oov_frac) for every
+    document with at least one token.
+
+    Scale shape: the vocabulary comes from the skew-safe two-phase
+    top-k (:func:`top_vocabulary`) and is k rows BY CONSTRUCTION, so
+    the membership probe is a broadcast LEFT join — the corpus token
+    stream never shuffles for it; the per-doc rollup aggregates with
+    map-side combine.
+    """
+    vocab = top_vocabulary(
+        df, k=k, id_col=id_col, text_col=text_col, n_shards=n_shards
+    ).select("token", F.lit(1).alias("_in_vocab"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(text_analysis.nonempty_tokens(text_col)).alias("token"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the overlap of their DISTINCT word ``n``-gram sets — the
+    between-subcorpus analog of :func:`ngram_decontaminate` (is one
+    source a mirror/scrape of another? does a curated slice leak into
+    the web crawl?). Returns one row per unordered pair
+    (source_a < source_b): (source_a, source_b, grams_a, grams_b,
+    common_grams, jaccard, containment), containment normalizing by
+    the SMALLER set (a subset scores 1.0 regardless of size ratio).
+
+    Scale shape: the per-source gram sets deduplicate with a
+    (source, gram) groupBy; the pair match is an equi-join on the gram
+    string whose per-gram fan-out is bounded by the number of sources
+    carrying it (sources are few; the join never broadcasts the
+    corpus-sized gram sets); per-source totals are a handful of rows
+    and broadcast onto the pair counts.
+    """
+    toks = text_analysis.nonempty_tokens(text_col)
+    grams = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                text_analysis.word_ngrams(toks, n)
+            ).alias("gram"),
+        )
+        .groupBy("source", "gram")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    totals = grams.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a = grams.select(
+        F.col("source").alias("source_a"), F.col("gram").alias("gram")
+    )
+    b = grams.select(
+        F.col("source").alias("source_b"), F.col("gram").alias("gram")
+    )
+    common = (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("common_grams"))
+    )
+    ta = F.broadcast(
+        totals.select(
+            F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+        )
+    )
+    tb = F.broadcast(
+        totals.select(
+            F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+        )
+    )
+    return (
+        common.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            "common_grams",
+            F.round(
+                F.col("common_grams")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("common_grams")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("common_grams")
+                / F.least(F.col("grams_a"), F.col("grams_b")),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def paragraph_stats(
     df: DataFrame,
     id_col: str = "doc_id",

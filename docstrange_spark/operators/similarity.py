@@ -762,3 +762,183 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def _assign_batches(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vid, vec) -> (vid, vec, cell, dist): nearest centroid by
+    squared L2 (ties by cell id — np.argsort stable, matching the
+    oracle's ORDER BY d, c) plus the FULL squared distance. One
+    mapInPandas pass with one X @ C.T per Arrow batch — a struct-
+    returning column UDF would be DUPLICATED by Catalyst's field
+    extraction (one ArrowEvalPython per extracted field), running the
+    matmul twice; mapInPandas structurally executes once."""
+    C = np.ascontiguousarray(centroids)
+    cn = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            d = cn[None, :] - 2.0 * (X @ C.T)
+            cell = np.argsort(d, axis=1, kind="stable")[:, 0]
+            xn = (X * X).sum(axis=1)
+            out = pdf[["vid", "vec"]].copy()
+            out["cell"] = cell.astype("int32")
+            out["dist"] = d[np.arange(len(cell)), cell] + xn
+            yield out
+
+    schema = "vid long, vec array<double>, cell int, dist double"
+    return df.select("vid", "vec").mapInPandas(assign, schema)
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd's k-means iteration as a relational report — the
+    oracle-checkable window into the :func:`ivf_train` loop: assign
+    every vector to its nearest centroid (squared L2, ties by cell id),
+    then per NON-EMPTY cell report membership, mean assigned distance,
+    and how far the M-step would move the centroid. Returns
+    (cell, n_vecs, mean_dist, shift), shift = L2 norm between the
+    cell's current centroid and its members' mean.
+
+    ``centroids=None`` uses the deterministic md5 seed centroids
+    (:func:`ivf_centroids`) — the configuration the DuckDB oracle
+    reproduces; pass ``ivf_train(...)`` output to monitor convergence
+    (shift -> 0) across iterations.
+
+    Scale shape: assignment is one vectorized X @ C.T per Arrow batch
+    (the centroid matrix rides in the closure — for very large k move
+    it to a Spark broadcast); the M-step means aggregate relationally
+    via posexplode + groupBy(cell, dim) with map-side partial
+    aggregation (never a vector collect); the k x dim current-centroid
+    table joins back as a BROADCAST literal relation. The driver holds
+    only k x dim floats at any point.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if centroids is None:
+        head = base.select(F.size("vec").alias("d")).limit(1).collect()
+        if not head:
+            raise ValueError(
+                "kmeans_step: embeddings DataFrame is empty — pass "
+                "explicit centroids to report on an empty corpus"
+            )
+        C = ivf_centroids(head[0]["d"], n_cells)
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+        n_cells = C.shape[0]
+    assigned = _assign_batches(base, C)
+    # ONE pass over the assigned stream (the matmul UDF must not
+    # re-execute per report branch): aggregate at (cell, dim)
+    # granularity, carrying the per-vector stats alongside — every
+    # i-group of a cell sees exactly the cell's member set, so its
+    # count/dist-sum equal the per-cell values and the final rollup
+    # just picks them up with max() while folding the shift norm.
+    per_dim = (
+        assigned.select("cell", "dist", F.posexplode("vec").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(
+            F.avg("v").alias("m"),
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("dist").alias("sd"),
+        )
+    )
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (c, i, float(C[c, i]))
+            for c in range(n_cells)
+            for i in range(C.shape[1])
+        ],
+        "cell int, i int, w double",
+    )
+    return (
+        per_dim.join(F.broadcast(cent), ["cell", "i"])
+        .groupBy("cell")
+        .agg(
+            F.max("cnt").alias("n_vecs"),
+            F.round(F.max("sd") / F.max("cnt"), 6).alias("mean_dist"),
+            F.round(
+                F.sqrt(F.sum((F.col("m") - F.col("w")) * (F.col("m") - F.col("w")))),
+                6,
+            ).alias("shift"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vecs",
+            "mean_dist",
+            "shift",
+        )
+    )
+
+
+def projection_planes(out_dim: int, dim: int) -> np.ndarray:
+    """Deterministic md5-derived signed projection matrix (key prefix
+    'proj' — its own namespace next to the LSH hyperplanes and IVF
+    centroids, same portable construction both engines can rebuild)."""
+    key = ("proj", out_dim, dim)
+    mat = _PLANE_CACHE.get(key)
+    if mat is None:
+        import hashlib
+
+        vals = np.empty((out_dim, dim), dtype=np.float64)
+        for j in range(out_dim):
+            for i in range(dim):
+                h = hashlib.md5(f"proj|{j}|{i}".encode()).hexdigest()[:8]
+                vals[j, i] = int(h, 16) / 2**31 - 1.0
+        mat = _PLANE_CACHE[key] = vals
+    return mat
+
+
+def embedding_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: y = P x with the
+    deterministic signed md5 plane matrix — the classic
+    Johnson-Lindenstrauss cosine-preserving shrink that cuts ANN index
+    storage/bandwidth dim/out_dim-fold while approximately preserving
+    angles. Returns (vec_id, proj: array<double> length ``out_dim``,
+    4-dp rounded).
+
+    Scale shape: a PURE projection — each output coordinate is a
+    zip_with/aggregate fold over the vector against a literal plane
+    row, entirely JVM-side inside whole-stage codegen (deterministic
+    left-fold summation, no Python stage, zero shuffles). The plan
+    carries out_dim x dim literals; for very high dim x out_dim move to
+    the vectorized-UDF path (one X @ P.T per batch, _probe_udf shape).
+    """
+    head = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not head:
+        raise ValueError("embedding_project: embeddings DataFrame is empty")
+    dim = head[0]["d"]
+    P = projection_planes(out_dim, dim)
+    vec = F.col(vec_col).cast("array<double>")
+    comps = []
+    for j in range(out_dim):
+        pj = F.array(*[F.lit(float(P[j, i])) for i in range(dim)])
+        comps.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, pj, lambda x, w: x * w),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            )
+        )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.array(*comps).alias("proj")
+    )

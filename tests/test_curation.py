@@ -798,3 +798,67 @@ def test_temperature_sample_applies_rates(spark):
     n_big = len(by_src["s_big"])
     assert 0.70 * 900 < n_big < 0.95 * 900
     assert all(r["sample_u"] < r["sample_rate"] for r in kept)
+
+
+def test_bigram_logprob_hand_corpus(spark):
+    """Hand-checked add-0.5 bigram LM on a 2-token vocabulary, and the
+    <2-token exclusion rule."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "a")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in curation.bigram_logprob(df).collect()}
+    # doc 3 has one token -> no bigrams -> absent
+    assert set(rows) == {1, 2}
+    # corpus: bigrams (a,b)x1, (b,a)x2; histories a:1, b:2; V=2
+    lp_ab = math.log((1 + 0.5) / (1 + 0.5 * 2))
+    lp_ba = math.log((2 + 0.5) / (2 + 0.5 * 2))
+    m1 = round((lp_ab + lp_ba) / 2, 6)
+    m2 = round(lp_ba, 6)
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["mean_logprob"] == m1
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["mean_logprob"] == m2
+    assert rows[1]["perplexity"] == round(math.exp(-m1), 4)
+
+
+def test_oov_rate_vocab_boundary(spark):
+    """k covering the whole vocabulary -> zero OOV everywhere; k=1
+    keeps only the most frequent token in-vocab (ties by token asc)."""
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "x")], "doc_id long, text string"
+    )
+    full = {r["doc_id"]: r for r in curation.oov_rate(df, k=10).collect()}
+    assert all(r["n_oov"] == 0 and r["oov_frac"] == 0.0 for r in full.values())
+    # counts: x=3, y=2, z=1 -> k=1 vocab = {x}
+    k1 = {r["doc_id"]: r for r in curation.oov_rate(df, k=1).collect()}
+    assert k1[1]["n_oov"] == 1 and k1[1]["oov_frac"] == round(1 / 3, 6)
+    assert k1[2]["n_oov"] == 2 and k1[2]["oov_frac"] == 1.0
+    assert k1[3]["n_oov"] == 0
+
+
+def test_source_overlap_subset_and_disjoint(spark):
+    """Identical gram sets score jaccard = containment = 1; a subset
+    scores containment 1 with jaccard < 1; zero-overlap pairs are
+    absent (inner gram join)."""
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s", "A"),
+            (2, "p q r s", "B"),
+            (3, "p q r s t u", "C"),
+            (4, "m n o w", "D"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in curation.source_overlap(df, n=2).collect()
+    }
+    ab = rows[("A", "B")]
+    assert ab["jaccard"] == 1.0 and ab["containment"] == 1.0
+    # A's 3 bigrams are a subset of C's 5
+    ac = rows[("A", "C")]
+    assert ac["containment"] == 1.0
+    assert ac["jaccard"] == round(3 / 5, 6)
+    assert ac["grams_a"] == 3 and ac["grams_b"] == 5
+    # D shares nothing: no pair rows with D at all
+    assert not any("D" in k for k in rows)

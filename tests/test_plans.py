@@ -113,3 +113,57 @@ def test_semantic_dedup_no_global_cross_join(spark):
     plan = plans.executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_plan_shape(docs):
+    """History table broadcasts (vocab-sized); bigram counts re-join as
+    a shuffle join; everything JVM-side."""
+    from docstrange_spark.operators import curation
+
+    df = curation.bigram_logprob(docs)
+    plan = plans.executed_plan(df)
+    assert "BroadcastExchange" in plan
+    assert plans.count_python_stages(df) == 0
+
+
+def test_oov_rate_broadcasts_vocab(docs):
+    """The k-row vocabulary probes the token stream as a broadcast —
+    the corpus never shuffles for membership."""
+    from docstrange_spark.operators import curation
+
+    df = curation.oov_rate(docs, k=50)
+    plan = plans.executed_plan(df)
+    assert "BroadcastExchange" in plan
+    assert plans.count_python_stages(df) == 0
+
+
+def test_source_overlap_no_cartesian(docs):
+    """The pair match is an equi-join on the gram string — never a
+    cross product of the per-source gram sets."""
+    from docstrange_spark.operators import curation
+
+    df = curation.source_overlap(docs)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.count_python_stages(df) == 0
+
+
+def test_kmeans_step_one_python_stage(spark):
+    """Assignment is the single vectorized matmul UDF; the M-step
+    means/shift stay relational with the centroid literal broadcast."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.kmeans_step(emb)
+    plan = plans.executed_plan(df)
+    assert plans.count_python_stages(df) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_embedding_project_pure_projection(spark):
+    """Zero shuffles, zero Python stages: the JL fold runs inside
+    whole-stage codegen over the scan."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.embedding_project(emb)
+    assert plans.count_exchanges(df) == 0
+    assert plans.count_python_stages(df) == 0

@@ -274,3 +274,44 @@ def test_quant_error_report(spark):
     # int8 with per-vector scale: max error is half a quantization step
     # of the largest-magnitude vector — far below the unit scale
     assert r["max_abs_err"] < 0.05, r
+
+
+def test_kmeans_step_partition_and_training_shrinks_shift(spark):
+    """Every vector lands in exactly one cell; Lloyd training moves
+    centroids toward the data, so the post-training M-step shift is
+    strictly smaller on average than the seed step's."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    seed = similarity.kmeans_step(emb).collect()
+    assert sum(r["n_vecs"] for r in seed) == n
+    assert all(0 <= r["cell"] < 16 for r in seed)
+    assert all(r["shift"] >= 0 and r["mean_dist"] >= 0 for r in seed)
+    C = similarity.ivf_train(emb, n_cells=16, iters=2)
+    trained = similarity.kmeans_step(emb, centroids=C).collect()
+    assert sum(r["n_vecs"] for r in trained) == n
+    mean_seed = sum(r["shift"] for r in seed) / len(seed)
+    mean_trained = sum(r["shift"] for r in trained) / len(trained)
+    assert mean_trained < mean_seed
+
+
+def test_embedding_project_shape_and_linearity(spark):
+    """16 components per vector; projection is linear, so a doubled
+    vector projects to doubled components (within 4-dp rounding)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = emb.where(F.col("vec_id") == 0)
+    doubled = one.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).cast(
+            "array<float>"
+        ),
+    )
+    p1 = similarity.embedding_project(one).collect()[0]["proj"]
+    p2 = similarity.embedding_project(doubled).collect()[0]["proj"]
+    assert len(p1) == 16 and len(p2) == 16
+    for a, b in zip(p1, p2):
+        assert abs(b - 2 * a) < 2e-3
+    # deterministic across invocations
+    again = similarity.embedding_project(one).collect()[0]["proj"]
+    assert again == p1
