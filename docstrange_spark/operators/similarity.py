@@ -331,22 +331,32 @@ def knn_ivf(
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", _norm(F.col("vec")))
-    if centroids is None:
-        dim_probe = _probe_udf_lazy(n_cells, nprobe)
-        cells = base.withColumn("probes", dim_probe(F.col("vec")))
-    else:
-        cells = base.withColumn(
-            "probes", _probe_udf(centroids, nprobe)(F.col("vec"))
-        )
-    assigned = cells.select(
-        "vid", "vec", "nrm", F.element_at("probes", 1).alias("cell")
     )
-    q = cells.where(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-        F.explode("probes").alias("cell"),
+    # corpus side: ONE mapInPandas matmul pass assigning the nearest
+    # cell (nprobe=1 semantics — identical to element_at(probes, 1)).
+    # The previous shape — one probes column UDF shared by the corpus
+    # branch and the query branch — was duplicated by Catalyst into
+    # CHAINED ArrowEvalPython nodes (the full-corpus matmul executed
+    # twice per row, 4 Python stages in the audited plan).
+    assigned = _assign_batches(base, centroids, n_cells=n_cells).select(
+        "vid", "vec", "cell"
+    ).withColumn("nrm", _norm(F.col("vec")))
+    # query side: filter FIRST (the IN pushes into the scan), then run
+    # the nprobe probe UDF over the handful of query rows only
+    probe = (
+        _probe_udf_lazy(n_cells, nprobe)
+        if centroids is None
+        else _probe_udf(centroids, nprobe)
+    )
+    q = (
+        base.where(F.col("vid").isin(query_ids))
+        .withColumn("probes", probe(F.col("vec")))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            _norm(F.col("vec")).alias("qnrm"),
+            F.explode("probes").alias("cell"),
+        )
     )
     cand = assigned.join(
         F.broadcast(q), (assigned["cell"] == q["cell"]) & (F.col("vid") != F.col("query_id"))
@@ -764,24 +774,33 @@ def semantic_dedup(
     )
 
 
-def _assign_batches(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+def _assign_batches(
+    df: DataFrame,
+    centroids: np.ndarray | None = None,
+    n_cells: int = 16,
+) -> DataFrame:
     """(vid, vec) -> (vid, vec, cell, dist): nearest centroid by
     squared L2 (ties by cell id — np.argsort stable, matching the
     oracle's ORDER BY d, c) plus the FULL squared distance. One
     mapInPandas pass with one X @ C.T per Arrow batch — a struct-
     returning column UDF would be DUPLICATED by Catalyst's field
     extraction (one ArrowEvalPython per extracted field), running the
-    matmul twice; mapInPandas structurally executes once."""
-    C = np.ascontiguousarray(centroids)
-    cn = (C * C).sum(axis=1)
+    matmul twice; mapInPandas structurally executes once.
+    ``centroids=None`` builds the md5 seed centroids worker-side from
+    the batch dimensionality (no driver action)."""
+    C0 = None if centroids is None else np.ascontiguousarray(centroids)
 
     def assign(batches):
+        C, cn = C0, None if C0 is None else (C0 * C0).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
+            if C is None:
+                C = np.ascontiguousarray(ivf_centroids(X.shape[1], n_cells))
+                cn = (C * C).sum(axis=1)
             d = cn[None, :] - 2.0 * (X @ C.T)
             cell = np.argsort(d, axis=1, kind="stable")[:, 0]
             xn = (X * X).sum(axis=1)
