@@ -1073,6 +1073,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return similarity.embedding_project(emb)
 
+    def q_pq_codes(spark, sf_dir):
+        # product-quantization codes against the md5 seed codebooks
+        # (m=8 subspaces x k=16 codewords = 32 bits/vector)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.pq_encode(emb, m=8, k=16)
+
+    def q_pq_error(spark, sf_dir):
+        # corpus-wide PQ reconstruction-error report for the same books
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.pq_error(emb, m=8, k=16)
+
+    def q_hard_negatives(spark, sf_dir):
+        # contrastive-training hard-negative mining: top-5 most-similar
+        # vectors carrying a DIFFERENT label, per query
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.hard_negatives(emb, [0, 1, 2, 3, 4], top_k=5)
+
     def q_chunks(spark, sf_dir):
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.chunks_kernel(md, max_tokens=120).drop("titles")
@@ -1186,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "kmeans_step": q_kmeans_step,
         "embedding_project": q_embedding_project,
+        "pq_codes": q_pq_codes,
+        "pq_error": q_pq_error,
+        "hard_negatives": q_hard_negatives,
     })
 
 
@@ -3859,4 +3879,94 @@ comp AS (
 )
 SELECT vec_id, list(y ORDER BY j) AS proj
 FROM comp GROUP BY vec_id"""
+    # product-quantization codes: md5 'pq' codebooks (m=8, k=16, dsub=8),
+    # nearest codeword per subspace by squared L2, ties by codeword id
+    out["pq_codes"] = r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+cb AS (
+  SELECT s, c, r,
+         ('0x' || substr(md5('pq|' || s || '|' || c || '|' || r), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 7)) AS us(s),
+       unnest(generate_series(0, 15)) AS uc(c),
+       unnest(generate_series(0, 7)) AS ur(r)
+),
+dist AS (
+  SELECT e.vec_id, b.s, b.c, sum((e.v - b.w) * (e.v - b.w)) AS d
+  FROM ex e
+  JOIN cb b ON b.s = (e.i - 1) // 8 AND b.r = (e.i - 1) % 8
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT vec_id, list(CAST(c AS INTEGER) ORDER BY s) AS codes
+FROM best GROUP BY vec_id"""
+    # PQ reconstruction-error report over the same seed codebooks
+    out["pq_error"] = r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+cb AS (
+  SELECT s, c, r,
+         ('0x' || substr(md5('pq|' || s || '|' || c || '|' || r), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(generate_series(0, 7)) AS us(s),
+       unnest(generate_series(0, 15)) AS uc(c),
+       unnest(generate_series(0, 7)) AS ur(r)
+),
+dist AS (
+  SELECT e.vec_id, b.s, b.c, sum((e.v - b.w) * (e.v - b.w)) AS d
+  FROM ex e
+  JOIN cb b ON b.s = (e.i - 1) // 8 AND b.r = (e.i - 1) % 8
+  GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT vec_id, sum(md) AS sq_err FROM (
+    SELECT vec_id, s, min(d) AS md FROM dist GROUP BY 1, 2
+  ) GROUP BY vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(sq_err), 6) AS mean_sq_err,
+       round(max(sq_err), 6) AS max_sq_err,
+       CAST(32 AS BIGINT) AS bits_per_vector,
+       round((SELECT max(i) FROM ex) * 32.0 / 32, 4) AS compression_x
+FROM per"""
+    # hard-negative mining: knn_bruteforce shape + label-mismatch predicate
+    out["hard_negatives"] = r"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id, nl.label AS neg_label,
+         round(dot / (qn.nrm * nn.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = qid
+  JOIN norms nn ON nn.vec_id = nid
+  JOIN embeddings ql ON ql.vec_id = qid
+  JOIN embeddings nl ON nl.vec_id = nid
+  WHERE nl.label <> ql.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 5"""
     return _driver_order(out)

@@ -961,3 +961,181 @@ def embedding_project(
     return embeddings.select(
         F.col(id_col).alias("vec_id"), F.array(*comps).alias("proj")
     )
+
+
+def pq_codebooks(m: int, k: int, dsub: int) -> np.ndarray:
+    """Deterministic md5-derived product-quantization codebooks, shape
+    (m, k, dsub) — key prefix 'pq|s|c|i', same portable construction as
+    the hyperplanes/centroids so DuckDB rebuilds the identical
+    codebooks in SQL. Production would train each subspace codebook
+    with k-means (ivf_train restricted to the subvector slice); the
+    seed books are the oracle-checkable configuration."""
+    key = ("pq", m, k, dsub)
+    mat = _PLANE_CACHE.get(key)
+    if mat is None:
+        import hashlib
+
+        vals = np.empty((m, k, dsub), dtype=np.float64)
+        for s in range(m):
+            for c in range(k):
+                for i in range(dsub):
+                    h = hashlib.md5(f"pq|{s}|{c}|{i}".encode()).hexdigest()[:8]
+                    vals[s, c, i] = int(h, 16) / 2**31 - 1.0
+        mat = _PLANE_CACHE[key] = vals
+    return mat
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011, public
+    knowledge): split each vector into ``m`` equal subvectors and store
+    only the index of the nearest of ``k`` codewords per subspace
+    (squared L2, ties by codeword id) — the memory layer of the IVF-PQ
+    index every web-scale ANN deployment runs: m*log2(k) bits per
+    vector (4 bytes here) instead of dim*4 bytes. Returns
+    (vec_id, codes: array<int> length m).
+
+    Scale shape: ONE mapInPandas pass, one (N, k) distance matrix per
+    subspace per Arrow batch — no shuffle at all; the codebooks ride
+    in the closure (m*k*dsub floats)."""
+    B = None  # built lazily from the batch dimensionality
+
+    def encode(batches):
+        nonlocal B
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            dim = X.shape[1]
+            if dim % m:
+                raise ValueError(
+                    f"pq_encode: dim {dim} not divisible by m={m}"
+                )
+            dsub = dim // m
+            if B is None:
+                B = pq_codebooks(m, k, dsub)
+            Xs = X.reshape(len(X), m, dsub)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                d = ((Xs[:, s, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argsort(d, axis=1, kind="stable")[:, 0]
+            out = pdf[["vid"]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    return base.mapInPandas(encode, "vid long, codes array<int>").select(
+        F.col("vid").alias("vec_id"), "codes"
+    )
+
+
+def pq_error(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide PQ reconstruction-error report: encode + decode
+    against the seed codebooks in the same single kernel pass and
+    aggregate (n_vectors, mean_sq_err, max_sq_err, bits_per_vector,
+    compression_x) — the measurement that decides m/k before an IVF-PQ
+    rollout. One Python stage, one 1-row aggregate; never materializes
+    codes."""
+    B = None
+
+    def sqerr(batches):
+        nonlocal B
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            dsub = X.shape[1] // m
+            if B is None:
+                B = pq_codebooks(m, k, dsub)
+            Xs = X.reshape(len(X), m, dsub)
+            err = np.zeros(len(X))
+            for s in range(m):
+                d = ((Xs[:, s, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+                err += d[
+                    np.arange(len(X)),
+                    np.argsort(d, axis=1, kind="stable")[:, 0],
+                ]
+            yield pd.DataFrame({"sq_err": err, "dim": X.shape[1]})
+
+    base = embeddings.select(
+        F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumnRenamed("vec", "vec")
+
+    per = base.select(F.col("vec")).mapInPandas(
+        lambda it: sqerr(it), "sq_err double, dim int"
+    )
+    bits = m * int(np.log2(k))
+    return per.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
+        F.round(F.max("sq_err"), 6).alias("max_sq_err"),
+        F.lit(bits).cast("long").alias("bits_per_vector"),
+        F.round(F.max("dim") * 32 / F.lit(bits), 4).alias("compression_x"),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative miner: for each query vector,
+    the ``top_k`` most-cosine-similar vectors carrying a DIFFERENT
+    label — the highest-loss negatives an embedding-model trainer
+    wants in the batch. Same broadcast shape as knn_bruteforce with the
+    label-mismatch predicate fused into the join (NULL labels never
+    match the inequality, so unlabeled rows are excluded — the safe
+    default for a miner). Returns (query_id, neighbor_id, neg_label,
+    rank, cosine); scale path: swap the crossJoin for the LSH/IVF
+    candidate join, predicate unchanged."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(label_col).alias("lbl"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    q = base.where(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.col("lbl").alias("qlbl"),
+    )
+    joined = base.crossJoin(F.broadcast(q)).where(
+        (F.col("vid") != F.col("query_id")) & (F.col("lbl") != F.col("qlbl"))
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.col("lbl").alias("neg_label"),
+        F.round(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
+    )
