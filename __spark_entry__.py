@@ -1098,6 +1098,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         md = _extracted(spark, sf_dir).select("doc_id", "markdown")
         return navigation.hierarchy_kernel(md)
 
+    def q_bpe_train(spark, sf_dir):
+        # 4 iterations of the BPE merge loop (merge table to driver)
+        return text_analysis.bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+    def q_filter_funnel(spark, sf_dir):
+        # per-stage rejection attribution over the fineweb chain
+        return text_analysis.filter_funnel(_docs(spark, sf_dir))
+
+    def q_zipf_fit(spark, sf_dir):
+        # corpus-health report: Zipf slope over the top-100 vocabulary
+        return curation.zipf_fit(_docs(spark, sf_dir), top_n=100)
+
+    def q_boilerplate_lines(spark, sf_dir):
+        # per-source frequent-line strip over the EXTRACTED markdown
+        # (multi-line, template headings repeat within a source)
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        src = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            "source",
+        )
+        return curation.boilerplate_lines(
+            md.join(src, "doc_id").select(
+                "doc_id", F.col("markdown").alias("text"), "source"
+            ),
+            min_frac=0.3,
+            min_docs=2,
+        )
+
+    def q_dedup_keep_best(spark, sf_dir):
+        # canonical-doc selection: best-quality member per verified
+        # near-dup cluster (oracle config: uncapped candidates)
+        return dedup.keep_best_per_cluster(
+            _docs(spark, sf_dir), jaccard_threshold=0.5
+        )
+
+    def q_budget_select(spark, sf_dir):
+        # best-subset-under-token-budget cut in quality order
+        return curation.budget_select(_docs(spark, sf_dir), budget_tokens=20000)
+
     return _driver_order({
         "extract_markdown": q_extract_markdown,
         "extract_sections": q_extract_sections,
@@ -1206,6 +1247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_error": q_pq_error,
         "hard_negatives": q_hard_negatives,
+        "bpe_train": q_bpe_train,
+        "filter_funnel": q_filter_funnel,
+        "zipf_fit": q_zipf_fit,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dedup_keep_best": q_dedup_keep_best,
+        "budget_select": q_budget_select,
     })
 
 
@@ -3969,4 +4016,205 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, neg_label, CAST(rank AS BIGINT) AS rank, cosine
 FROM ranked WHERE rank <= 5"""
+    # iterative BPE trainer, n_merges=4 unrolled: pieces collapse to a
+    # distinct table, each merge applies via literal replace over the
+    # half-consuming \x1f boundary encoding (text_analysis.bpe_train)
+    S = "\x1f"
+    bpe_parts = [
+        f"""WITH pieces AS (
+  SELECT unnest(regexp_extract_all(replace(lower(coalesce(text, '')), '{S}', ''),
+         ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS piece
+  FROM documents
+),
+pc AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM pieces GROUP BY piece),
+rep0 AS (
+  SELECT cnt,
+         substr(regexp_replace(piece, '(.)', '{S}{S}\\1', 'gs'), 2) || '{S}' AS rep
+  FROM pc
+)"""
+    ]
+    for t in range(1, 5):
+        p = t - 1
+        bpe_parts.append(f""",
+syms{t} AS (
+  SELECT cnt, string_split(substr(rep, 2, length(rep) - 2), '{S}{S}') AS s
+  FROM rep{p}
+),
+pairs{t} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM syms{t}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+best{t} AS (SELECT l, r, c FROM pairs{t} ORDER BY c DESC, l, r LIMIT 1),
+rep{t} AS (
+  SELECT cnt, replace(rep, '{S}' || l || '{S}{S}' || r || '{S}',
+                      '{S}' || l || r || '{S}') AS rep
+  FROM rep{p}, best{t}
+)""")
+    out["bpe_train"] = "".join(bpe_parts) + "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, l AS left_sym, r AS right_sym,"
+        f" c AS pair_count, l || r AS merged FROM best{t}"
+        for t in range(1, 5)
+    )
+    # per-stage rejection funnel over the fineweb chain: first failing
+    # rule in chain order attributes the rejection
+    from docstrange_spark.operators.text_analysis import FUNNEL_STAGES
+
+    stage_vals = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    first_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN list_contains(rs, '{s}') THEN '{s}'"
+            for s in FUNNEL_STAGES
+        )
+        + " END"
+    )
+    out["filter_funnel"] = f"""
+WITH ff AS ({out["fineweb_filters"]}),
+lab AS (
+  SELECT {first_case} AS stage
+  FROM (SELECT string_split(reasons, ',') AS rs FROM ff WHERE NOT keep)
+),
+rej AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_rejected
+        FROM lab GROUP BY stage),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ff),
+dim AS (SELECT * FROM (VALUES {stage_vals}) AS v(stage_idx, stage)),
+f AS (
+  SELECT d.stage_idx, d.stage, coalesce(r.n_rejected, 0) AS n_rejected
+  FROM dim d LEFT JOIN rej r USING (stage)
+),
+c AS (
+  SELECT stage_idx, stage, n_rejected,
+         n_total - coalesce(sum(n_rejected) OVER (ORDER BY stage_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+  FROM f, tot
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_rejected AS BIGINT) AS n_rejected,
+       CAST(n_in - n_rejected AS BIGINT) AS n_out,
+       round(CASE WHEN n_in > 0 THEN n_rejected * 1.0 / n_in
+             ELSE 0.0 END, 6) AS reject_frac
+FROM c"""
+    # Zipf fit: exact-integer moment sums (1e-6 ln-rank / 1e-5 ln-count
+    # units — the asymmetry keeps every product in int64), identical
+    # closed-form double expression as curation.zipf_fit
+    out["zipf_fit"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens FROM counts),
+top AS (
+  SELECT cnt, rank FROM (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM counts
+  ) WHERE rank <= 100
+),
+units AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS xi,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 100000.0) AS BIGINT) AS yi
+  FROM top
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(xi) AS sx, sum(yi) AS sy,
+         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+  FROM units
+),
+fit AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+),
+s AS (
+  SELECT n, num, den, deny, sxd, syd,
+         CASE WHEN den <> 0 THEN num / den * 10.0 ELSE 0.0 END AS slope
+  FROM fit
+)
+SELECT t.n_types, t.n_tokens, CAST(s.n AS BIGINT) AS top_n_used,
+       round(s.slope, 6) AS slope,
+       round((s.syd / 100000.0 - s.slope * s.sxd / 1000000.0)
+             / CAST(s.n AS DOUBLE), 6) AS intercept,
+       round(CASE WHEN s.den <> 0 AND s.deny <> 0
+             THEN s.num * s.num / (s.den * s.deny) ELSE 0.0 END, 6) AS r2
+FROM s, tot t"""
+    # per-source frequent-line strip over the extracted markdown
+    # (min_docs=2, min_frac=0.3 of the source's documents)
+    out["boilerplate_lines"] = (
+        MD_CTE
+        + """,
+src AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, source
+        FROM documents),
+bdocs AS (SELECT m.doc_id, m.markdown AS text, s.source
+          FROM md m JOIN src s USING (doc_id)),
+blines AS (
+  SELECT doc_id, source, ls[i] AS line, CAST(i AS BIGINT) AS lidx
+  FROM (SELECT doc_id, source,
+               string_split(coalesce(text, ''), chr(10)) AS ls FROM bdocs),
+       unnest(generate_series(1, len(ls))) AS u(i)
+),
+srcd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src_docs
+         FROM bdocs GROUP BY source),
+bcnts AS (
+  SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+  FROM blines WHERE trim(line) <> '' GROUP BY source, line
+),
+boiler AS (
+  SELECT c.source, c.line
+  FROM bcnts c JOIN srcd s USING (source)
+  WHERE n_docs_with >= 2 AND n_docs_with >= 0.3 * n_src_docs
+),
+lab AS (
+  SELECT l.doc_id, l.lidx, l.line, (b.line IS NOT NULL) AS is_boiler
+  FROM blines l LEFT JOIN boiler b
+    ON b.source = l.source AND b.line = l.line
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) * 1.0 / count(*),
+             6) AS boiler_frac,
+       coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                           chr(10) ORDER BY lidx), '') AS clean_text
+FROM lab GROUP BY doc_id"""
+    )
+    # canonical-doc selection: highest-quality member per verified
+    # near-dup cluster (composes the verified-clusters + quality twins)
+    out["dedup_keep_best"] = f"""
+SELECT c.doc_id, c.cluster_rep,
+       CAST(count(*) OVER (PARTITION BY c.cluster_rep) AS BIGINT)
+         AS n_members,
+       q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_rep
+                           ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+FROM ({out["dedup_clusters_verified"]}) c
+JOIN ({_quality_sql()}) q USING (doc_id)"""
+    # token-budget selection in quality order (budget = 20000 tokens);
+    # the oracle takes the naive global cumulative window — equal to
+    # the engine's two-phase keyed cut because the order is total
+    out["budget_select"] = f"""
+WITH q AS ({_quality_sql()}),
+tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per AS (SELECT q.doc_id, q.quality, tok.n_tokens
+        FROM q JOIN tok USING (doc_id)),
+c AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM per
+)
+SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000"""
     return _driver_order(out)

@@ -1461,3 +1461,219 @@ def source_mix(
             "mix_entropy",
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit report: least-squares slope of ln(count) on
+    ln(rank) over the top-``top_n`` vocabulary — the one-row corpus
+    health check (natural text reads slope ~ -1; generated/boilerplate
+    corpora drift off it; Piantadosi 2014, public knowledge). Returns
+    (n_types, n_tokens, top_n_used, slope, intercept, r2).
+
+    Determinism: ln(rank) and ln(count) are rounded to fixed integer
+    units per row (1e-6 for ln-rank, 1e-5 for ln-count — asymmetric so
+    every moment product fits int64 even at 100 TB token counts with
+    top_n up to ~1000) and summed as exact BIGINTs, so the closed-form
+    slope/intercept/r2 are the same double expression over identical
+    integer operands in Spark and the DuckDB twin (the
+    accumulation-order fix adjudicated for source_mix's entropy). The
+    unit scales cancel inside the ratios up to the constant
+    AX/AY = 10, re-applied explicitly. Scale shape: one token-count
+    aggregate with map-side combine; the top-n rank reuses
+    top_vocabulary's skew-safe two-phase shards; the regression is a
+    1-row aggregate over top_n rows."""
+    if not 2 <= top_n <= 1000:
+        raise ValueError(f"top_n must be in [2, 1000] (got {top_n})")
+    tv = top_vocabulary(df, k=top_n, id_col=id_col, text_col=text_col)
+    toks = df.select(
+        F.explode(text_analysis.nonempty_tokens(text_col)).alias("token")
+    )
+    totals = toks.groupBy("token").agg(F.count("*").alias("c")).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    xi = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long")
+    yi = F.round(F.log(F.col("cnt").cast("double")) * 1e5).cast("long")
+    m = tv.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+    )
+    # exact-integer normal equations; the asymmetric unit scales cancel
+    # in the ratios up to AX/AY = 10 (slope) and (AX/AY)^2 (r2's
+    # numerator/denominator — which cancels exactly)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = F.when(den != 0, num / den * F.lit(10.0)).otherwise(F.lit(0.0))
+    intercept = (
+        F.col("sy").cast("double") / F.lit(1e5)
+        - slope * F.col("sx").cast("double") / F.lit(1e6)
+    ) / F.col("n").cast("double")
+    r2 = F.when(
+        (den != 0) & (deny != 0), num * num / (den * deny)
+    ).otherwise(F.lit(0.0))
+    return (
+        m.crossJoin(F.broadcast(totals))
+        .select(
+            "n_types",
+            "n_tokens",
+            F.col("n").cast("long").alias("top_n_used"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-source frequent-line stripping (RefinedWeb-style; Penedo et
+    al. 2023, public knowledge): a non-blank line occurring in at least
+    ``min_docs`` documents AND at least ``min_frac`` of its SOURCE's
+    documents is template boilerplate (nav bars, footers, cookie
+    banners that repeat across one crawl domain but not globally) and
+    is dropped; blank lines are structure, never flagged. The
+    per-source relative threshold is what distinguishes this from
+    paragraph_stats' global occurrence cap: a line legitimate in one
+    source can be template noise in another. Returns (doc_id, n_lines,
+    n_boiler, boiler_frac, clean_text).
+
+    Scale shape: lines shuffle by (source, md5(line)) — never the raw
+    line as a shuffle key; the doc-distinct occurrence count has
+    map-side partial aggregation; per-source doc totals are a
+    broadcast (sources are few); the count table is corpus-sized so
+    the line re-join is a plain shuffle join; per-doc reassembly is
+    the sort_array regroup shared with paragraph_stats."""
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1] (got {min_frac})")
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("lidx", "line"),
+    ).withColumn("lhash", F.md5("line"))
+    src_docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_src_docs")
+    )
+    counts = (
+        lines.where(F.trim("line") != "")
+        .select("source", "lhash", "doc_id")
+        .distinct()
+        .groupBy("source", "lhash")
+        .agg(F.count("*").cast("long").alias("n_docs_with"))
+        .join(F.broadcast(src_docs), "source")
+        .where(
+            (F.col("n_docs_with") >= min_docs)
+            & (
+                F.col("n_docs_with")
+                >= F.lit(float(min_frac)) * F.col("n_src_docs")
+            )
+        )
+        .select("source", "lhash", F.lit(True).alias("is_boiler"))
+    )
+    j = lines.join(counts, ["source", "lhash"], "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(~F.col("is_boiler"), F.struct(F.col("lidx"), F.col("line")))
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias(
+                "boiler_frac"
+            ),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["line"]), "\n"
+            ).alias("clean_text"),
+        )
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection: take documents in quality order
+    (quality desc, doc_id asc) while the running token total stays
+    within ``budget_tokens`` — the "best N-billion-token subset" cut
+    every scaled-down training run makes. Returns the selected rows as
+    (doc_id, quality, n_tokens, cum_tokens), cum_tokens inclusive.
+
+    Scale shape: NO global sort/window over the corpus. quality is
+    4-dp-rounded (quality_score), so its 10^4-grained integer key has
+    bounded cardinality: per-key token totals aggregate with map-side
+    combine, the cumulative-over-keys window runs on <= ~10k key rows
+    (bounded by construction), and only per-key running sums touch
+    per-document rows — partitioned by the key, distributed. The
+    DuckDB twin computes the same cut with the naive global window;
+    equality holds because the order (qkey desc, doc_id asc) is
+    total."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0 (got {budget_tokens})")
+    q = text_analysis.quality_score(df, id_col=id_col, text_col=text_col)
+    per = q.select("doc_id", "quality").join(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(text_analysis.nonempty_tokens(text_col))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+        "doc_id",
+    ).withColumn("qkey", F.round(F.col("quality") * 10000).cast("long"))
+    key_tot = per.groupBy("qkey").agg(
+        F.sum("n_tokens").cast("long").alias("key_tokens")
+    )
+    # bounded window: <= 10^4 distinct 4-dp quality keys by construction
+    wk = Window.partitionBy(F.lit(0)).orderBy(F.desc("qkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = key_tot.withColumn(
+        "offset", F.coalesce(F.sum("key_tokens").over(wk), F.lit(0))
+    )
+    wd = Window.partitionBy("qkey").orderBy(F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.join(F.broadcast(offsets.select("qkey", "offset")), "qkey")
+        .withColumn(
+            "cum_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(wd)).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )

@@ -1064,3 +1064,48 @@ def dup_span_scrub(
             - F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
         ).alias("removed_tokens"),
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Canonical-document selection over the verified near-dup
+    clusters: within each cluster keep the highest-quality member
+    (quality desc, then doc_id asc tie-break) — the production policy
+    that beats verified_clusters' min-id representative when the
+    near-dups differ in extraction quality (a clean page and its
+    ad-cluttered mirror dedup to the CLEAN one). Returns every document
+    as (doc_id, cluster_rep, n_members, quality, keep); filter on
+    ``keep`` for the survivor set.
+
+    Scale shape: the clustering is verified_clusters unchanged (LSH →
+    exact-Jaccard → components); quality is a pure projection joined on
+    doc_id; the best-member pick is one row_number window PARTITIONED
+    by cluster (clusters are small after verification — the window
+    never sees a corpus-wide partition)."""
+    from docstrange_spark.operators import text_analysis
+
+    clusters = verified_clusters(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    q = text_analysis.quality_score(df, id_col=id_col, text_col=text_col)
+    j = clusters.join(q.select("doc_id", "quality"), "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_rep")
+    return j.select(
+        "doc_id",
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        F.count("*").over(wc).cast("long").alias("n_members"),
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -769,3 +769,192 @@ def bpe_pair_counts(
         .where(F.col("rank") <= top_k)
         .select("left_sym", "right_sym", "pair_count", "rank")
     )
+
+
+# unit separator: symbol boundary for the BPE trainer's piece
+# representation — never occurs in real text (stripped defensively)
+BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Iterative byte-pair-encoding trainer (Sennrich et al. 2016,
+    public knowledge): starting from the character vocabulary over the
+    :data:`BPE_PIECE_RE` pre-tokenizer pieces, repeatedly merge the
+    most-frequent adjacent symbol pair (count desc, then binary
+    (left, right) asc tie-break) and re-count — the loop whose output
+    IS a tokenizer's merge table. Returns one row per merge:
+    (rank, left_sym, right_sym, pair_count, merged), where later rows'
+    symbols may be multi-character (earlier merges).
+
+    Merge application is greedy left-to-right non-overlapping (the
+    standard), realized as a literal ``replace`` over a
+    half-consuming boundary encoding: a piece's symbols are stored as
+    ``\\x1f s1 \\x1f\\x1f s2 \\x1f\\x1f ... sn \\x1f`` so the pattern
+    ``\\x1f L \\x1f\\x1f R \\x1f`` consumes one separator from each
+    side and leaves the other half for the neighboring match —
+    adjacent occurrences ("a b a b") merge correctly, and a symbol
+    whose SUFFIX is L can never false-match (its left boundary is
+    doubled).
+
+    Scale shape: identical pieces collapse FIRST (one groupBy on the
+    piece — the Zipf reduction), so each iteration runs over the
+    DISTINCT-piece table only: one pair-count aggregate with map-side
+    combine plus a 1-row ``limit(1)`` argmax to the driver (the merge
+    table is driver-state by definition — that is the algorithm, not a
+    collect() smell). Lineage stacks one ``replace`` per merge;
+    production runs at thousands of merges would localCheckpoint the
+    piece table every ~50 iterations (same pattern as
+    dedup.cluster_assignments' pointer-jumping loop)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
+    S = BPE_SEP
+    pieces = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.replace(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    F.lit(S),
+                    F.lit(""),
+                ),
+                F.lit(BPE_PIECE_RE),
+                0,
+            )
+        ).alias("piece")
+    )
+    pc = pieces.groupBy("piece").agg(F.count("*").cast("long").alias("cnt"))
+    # "␟␟a␟␟b" -> drop first sep, append one: "␟a␟␟b␟"
+    inner = F.regexp_replace("piece", "(?s)(.)", S + S + "$1")
+    rep_df = pc.select(
+        "cnt",
+        F.concat(
+            F.substr(inner, F.lit(2), F.length(inner)), F.lit(S)
+        ).alias("rep"),
+    )
+    merges = []
+    for t in range(1, n_merges + 1):
+        syms = F.split(
+            F.substr(F.col("rep"), F.lit(2), F.length("rep") - 2), S + S
+        )
+        pairs = (
+            rep_df.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size(syms) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            lambda i: F.struct(
+                                F.element_at(syms, i).alias("l"),
+                                F.element_at(syms, i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((t, l, r, c, l + r))
+        rep_df = rep_df.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"),
+                F.lit(S + l + S + S + r + S),
+                F.lit(S + l + r + S),
+            ),
+        )
+    return df.sparkSession.createDataFrame(
+        merges,
+        "rank long, left_sym string, right_sym string, "
+        "pair_count long, merged string",
+    )
+
+
+# chain-order of the fineweb_filters rules: first failing rule in THIS
+# order is the funnel stage a rejected document attributes to
+FUNNEL_STAGES = (
+    "too_few_words",
+    "too_many_words",
+    "short_words",
+    "long_words",
+    "repetitive_2grams",
+    "dominant_word",
+)
+
+
+def filter_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stage rejection attribution for the fineweb_filters chain —
+    the monitoring report every production filter pipeline publishes
+    ("how many documents does each rule cost us"). Each rejected
+    document attributes to its FIRST failing rule in chain order
+    (:data:`FUNNEL_STAGES`); the funnel row for stage i reports
+    (stage_idx, stage, n_in, n_rejected, n_out, reject_frac) with
+    n_in = survivors of stages < i, so n_out of the last row is the
+    chain's keep count.
+
+    Scale shape: one fineweb_filters projection (zero shuffles) into a
+    <= 6-group aggregate; the cumulative funnel arithmetic runs on the
+    6-row stage dimension only (bounded single-partition window by
+    construction — same justification as top_vocabulary's re-rank)."""
+    sig = fineweb_filters(df, id_col=id_col, text_col=text_col)
+    reasons = F.split(F.col("reasons"), ",")
+    first_fail = F.coalesce(
+        *[
+            F.when(F.array_contains(reasons, s), F.lit(s))
+            for s in FUNNEL_STAGES
+        ]
+    )
+    rejects = (
+        sig.where(~F.col("keep"))
+        .groupBy(first_fail.alias("stage"))
+        .agg(F.count("*").cast("long").alias("n_rejected"))
+    )
+    total = sig.agg(F.count("*").cast("long").alias("n_total"))
+    stages = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)],
+        "stage_idx long, stage string",
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    # bounded by construction: 6 stage rows, broadcast joins only
+    return (
+        stages.join(F.broadcast(rejects), "stage", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_rejected", F.coalesce("n_rejected", F.lit(0)))
+        .withColumn(
+            "n_in",
+            F.col("n_total")
+            - F.coalesce(F.sum("n_rejected").over(w), F.lit(0)),
+        )
+        .select(
+            "stage_idx",
+            "stage",
+            F.col("n_in").cast("long").alias("n_in"),
+            "n_rejected",
+            (F.col("n_in") - F.col("n_rejected")).cast("long").alias("n_out"),
+            F.round(
+                F.when(
+                    F.col("n_in") > 0, F.col("n_rejected") / F.col("n_in")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("reject_frac"),
+        )
+    )

@@ -862,3 +862,128 @@ def test_source_overlap_subset_and_disjoint(spark):
     assert ac["grams_a"] == 3 and ac["grams_b"] == 5
     # D shares nothing: no pair rows with D at all
     assert not any("D" in k for k in rows)
+
+
+def test_bpe_train_adjacent_merge(spark):
+    # "l l l l" inside one piece: greedy left-to-right must merge
+    # non-overlapping ADJACENT occurrences in the same pass ("llll" ->
+    # [ll, ll], not [ll, l, l]) — the half-consuming boundary encoding
+    # this exercises is the correctness core of the trainer
+    from docstrange_spark.operators import text_analysis as ta
+
+    df = spark.createDataFrame(
+        [(1, "llll llll xy"), (2, "llll xy")], "doc_id long, text string"
+    )
+    m = ta.bpe_train(df, n_merges=2).orderBy("rank").collect()
+    # merge 1: (l, l) — counting sees ALL adjacent positions (3 per
+    # "llll" piece x 3 pieces = 9); only merge APPLICATION is greedy
+    # non-overlapping
+    assert (m[0]["left_sym"], m[0]["right_sym"], m[0]["merged"]) == (
+        "l", "l", "ll",
+    )
+    assert m[0]["pair_count"] == 9
+    # merge 2: after [ll, ll], the pair (ll, ll) has count 3
+    assert (m[1]["left_sym"], m[1]["right_sym"]) == ("ll", "ll")
+    assert m[1]["pair_count"] == 3
+
+
+def test_bpe_train_no_cross_symbol_false_match(spark):
+    # symbols ["xa", "b"] must NOT match a merge pattern (a, b): the
+    # doubled inner boundary makes "a<sep>b" unreachable inside
+    # "xa<sep><sep>b"
+    from docstrange_spark.operators import text_analysis as ta
+
+    # "ab ab ab xab": merge 1 is (a, b); piece " xab" holds symbols
+    # [' ', x, a, b] whose (a, b) pair ALSO counts — after merge 1 its
+    # rep must contain symbol "ab" (merged in place), not a corrupted
+    # "xab" fusion
+    df = spark.createDataFrame(
+        [(1, "ab ab ab xab")], "doc_id long, text string"
+    )
+    m = ta.bpe_train(df, n_merges=1).collect()
+    assert (m[0]["left_sym"], m[0]["right_sym"]) == ("a", "b")
+    # 3 standalone (piece "ab" twice + " ab"... pre-tokenizer: "ab",
+    # " ab", " ab", " xab" -> (a,b) appears once per piece = 4
+    assert m[0]["pair_count"] == 4
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    from docstrange_spark.operators import text_analysis as ta
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),                      # too_few_words
+            (2, " ".join(["good"] * 25)),        # dominant_word (25 words)
+            (3, " ".join(f"w{i}" for i in range(30))),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["stage"]: r for r in ta.filter_funnel(df).collect()}
+    assert rows["too_few_words"]["n_rejected"] == 1
+    assert rows["too_few_words"]["n_in"] == 3
+    # doc 2 fails repetitive_2grams BEFORE dominant_word in chain order
+    assert rows["repetitive_2grams"]["n_rejected"] == 1
+    assert rows["dominant_word"]["n_rejected"] == 0
+    assert rows["dominant_word"]["n_out"] == 1
+
+
+def test_boilerplate_lines_per_source_threshold(spark):
+    from docstrange_spark.operators import curation as cu
+
+    # "FOOTER" is in 2/2 docs of src_a (flagged) but 1/3 of src_b
+    # (kept): the per-source relative threshold is the point
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nFOOTER", "src_a"),
+            (2, "beta\nFOOTER", "src_a"),
+            (3, "gamma\nFOOTER", "src_b"),
+            (4, "delta\nx", "src_b"),
+            (5, "eps\ny", "src_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in cu.boilerplate_lines(
+        df, min_frac=0.5, min_docs=2
+    ).collect()}
+    assert out[1]["clean_text"] == "alpha" and out[1]["n_boiler"] == 1
+    assert out[3]["clean_text"] == "gamma\nFOOTER" and out[3]["n_boiler"] == 0
+    # blank lines are never flagged even when universal
+    df2 = spark.createDataFrame(
+        [(1, "a\n\nb", "s"), (2, "c\n\nd", "s")],
+        "doc_id long, text string, source string",
+    )
+    for r in cu.boilerplate_lines(df2, min_frac=0.5, min_docs=2).collect():
+        assert r["n_boiler"] == 0 and "\n\n" in r["clean_text"]
+
+
+def test_budget_select_boundary_cut(spark):
+    from docstrange_spark.operators import curation as cu
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sel = cu.budget_select(docs, budget_tokens=1000).orderBy("cum_tokens")
+    rows = sel.collect()
+    assert rows, "budget 1000 should admit at least one doc"
+    assert rows[-1]["cum_tokens"] <= 1000
+    # cut is maximal: adding the next doc in quality order would exceed
+    total = sum(r["n_tokens"] for r in rows)
+    assert total == rows[-1]["cum_tokens"]
+    # quality order is respected: qualities are non-increasing
+    quals = [r["quality"] for r in rows]
+    assert quals == sorted(quals, reverse=True)
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from docstrange_spark.operators import curation as cu
+
+    # synthetic corpus with counts ~ rank^-1 exactly: slope must read
+    # close to -1 and r2 close to 1
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * (2000 // rank)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = cu.zipf_fit(df, top_n=20).collect()[0]
+    assert abs(r["slope"] + 1.0) < 0.02, r["slope"]
+    assert r["r2"] > 0.999, r["r2"]
+    assert r["n_types"] == 20 and r["top_n_used"] == 20
