@@ -1139,6 +1139,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # best-subset-under-token-budget cut in quality order
         return curation.budget_select(_docs(spark, sf_dir), budget_tokens=20000)
 
+    def q_bpe_encode(spark, sf_dir):
+        # train 4 merges on the corpus, then encode it: per-doc BPE
+        # token counts and compression
+        return text_analysis.bpe_encode(_docs(spark, sf_dir), n_merges=4)
+
+    def q_image_dhash(spark, sf_dir):
+        # perceptual hashes over REAL encoded BMP bytes (deterministic
+        # md5-pixel corpus); the oracle recomputes from the pixel rule,
+        # so parity proves the encode->decode->hash chain is exact
+        from docstrange_spark import datagen
+        from docstrange_spark.operators import multimodal
+
+        return multimodal.image_dhash(
+            datagen.corpus_media(_docs(spark, sf_dir))
+        )
+
+    def q_image_near_dups(spark, sf_dir):
+        # banded dHash near-dup pairs; the all-pairs oracle is exact
+        # because 8 byte-bands pigeonhole-guarantee hamming <= 7
+        from docstrange_spark import datagen
+        from docstrange_spark.operators import multimodal
+
+        return multimodal.image_near_dups(
+            datagen.corpus_media(_docs(spark, sf_dir)), max_hamming=6
+        )
+
     return _driver_order({
         "extract_markdown": q_extract_markdown,
         "extract_sections": q_extract_sections,
@@ -1253,6 +1279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "dedup_keep_best": q_dedup_keep_best,
         "budget_select": q_budget_select,
+        "bpe_encode": q_bpe_encode,
+        "image_dhash": q_image_dhash,
+        "image_near_dups": q_image_near_dups,
     })
 
 
@@ -4016,26 +4045,33 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, neg_label, CAST(rank AS BIGINT) AS rank, cosine
 FROM ranked WHERE rank <= 5"""
-    # iterative BPE trainer, n_merges=4 unrolled: pieces collapse to a
-    # distinct table, each merge applies via literal replace over the
-    # half-consuming \x1f boundary encoding (text_analysis.bpe_train)
+    # iterative BPE trainer + encoder, n_merges=4 unrolled: pieces
+    # collapse to a distinct table, each merge applies via literal
+    # replace over the half-consuming \x1f boundary encoding
+    # (text_analysis.bpe_train / bpe_encode); `carry` threads the piece
+    # key through the rep chain so the encoder can map piece -> final
+    # symbol count
     S = "\x1f"
-    bpe_parts = [
-        f"""WITH pieces AS (
-  SELECT unnest(regexp_extract_all(replace(lower(coalesce(text, '')), '{S}', ''),
+
+    def _bpe_chain(carry: str = "") -> str:
+        parts = [
+            f"""WITH dpieces AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(replace(lower(coalesce(text, '')), '{S}', ''),
          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+')) AS piece
   FROM documents
 ),
-pc AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM pieces GROUP BY piece),
+pc AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+       FROM dpieces GROUP BY piece),
 rep0 AS (
-  SELECT cnt,
+  SELECT {carry}cnt,
          substr(regexp_replace(piece, '(.)', '{S}{S}\\1', 'gs'), 2) || '{S}' AS rep
   FROM pc
 )"""
-    ]
-    for t in range(1, 5):
-        p = t - 1
-        bpe_parts.append(f""",
+        ]
+        for t in range(1, 5):
+            p = t - 1
+            parts.append(f""",
 syms{t} AS (
   SELECT cnt, string_split(substr(rep, 2, length(rep) - 2), '{S}{S}') AS s
   FROM rep{p}
@@ -4047,15 +4083,32 @@ pairs{t} AS (
 ),
 best{t} AS (SELECT l, r, c FROM pairs{t} ORDER BY c DESC, l, r LIMIT 1),
 rep{t} AS (
-  SELECT cnt, replace(rep, '{S}' || l || '{S}{S}' || r || '{S}',
+  SELECT {carry}cnt, replace(rep, '{S}' || l || '{S}{S}' || r || '{S}',
                       '{S}' || l || r || '{S}') AS rep
   FROM rep{p}, best{t}
 )""")
-    out["bpe_train"] = "".join(bpe_parts) + "\n" + "\nUNION ALL\n".join(
+        return "".join(parts)
+
+    out["bpe_train"] = _bpe_chain() + "\n" + "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS BIGINT) AS rank, l AS left_sym, r AS right_sym,"
         f" c AS pair_count, l || r AS merged FROM best{t}"
         for t in range(1, 5)
     )
+    out["bpe_encode"] = _bpe_chain(carry="piece, ") + f""",
+nsym AS (
+  SELECT piece,
+         CAST(len(string_split(substr(rep, 2, length(rep) - 2), '{S}{S}'))
+              AS BIGINT) AS n_sym,
+         CAST(length(piece) AS BIGINT) AS p_chars
+  FROM rep4
+),
+dpc AS (SELECT doc_id, piece, CAST(count(*) AS BIGINT) AS k
+        FROM dpieces GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_pieces,
+       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(k * p_chars) AS BIGINT) AS n_chars,
+       round(sum(k * p_chars) * 1.0 / sum(k * n_sym), 6) AS compression
+FROM dpc JOIN nsym USING (piece) GROUP BY doc_id"""
     # per-stage rejection funnel over the fineweb chain: first failing
     # rule in chain order attributes the rejection
     from docstrange_spark.operators.text_analysis import FUNNEL_STAGES
@@ -4217,4 +4270,71 @@ c AS (
 )
 SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 20000"""
+    # dHash over the md5-pixel image corpus (datagen.corpus_media):
+    # the oracle recomputes the hash from the GENERATIVE pixel rule —
+    # Spark's answer travels through real BMP bytes (encode -> decode
+    # -> gray -> 8x9 nearest-neighbor downsample -> 64 difference
+    # bits), so a hash match proves the whole codec chain is exact.
+    # Bit layout mirrors multimodal.dhash_bits: idx = y*8+x, hi =
+    # rows 0-3 MSB-first, lo = rows 4-7.
+    _HEXB = (
+        "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+    )
+    _DHASH_SIG = f"""WITH idocs AS (SELECT doc_id, doc_id // 3 AS base FROM documents),
+cells AS (
+  SELECT doc_id, base, y, x, (y * 16 // 8) AS ri, (x * 16 // 9) AS ci
+  FROM idocs, unnest(generate_series(0, 7)) AS uy(y),
+       unnest(generate_series(0, 8)) AS ux(x)
+),
+gv AS (
+  SELECT doc_id, y, x,
+         CASE WHEN doc_id % 3 = 2 AND ri = (doc_id // 3) % 16
+                   AND ci = doc_id % 16
+              THEN (hb + 128) % 256 ELSE hb END AS v
+  FROM (
+    SELECT *, {_HEXB} AS hb FROM (
+      SELECT *, md5('img|' || CAST(base AS VARCHAR) || '|' ||
+                    CAST(ri AS VARCHAR) || '|' || CAST(ci AS VARCHAR)) AS h
+      FROM cells
+    )
+  )
+),
+dbits AS (
+  SELECT a.doc_id, a.y, a.x, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS b
+  FROM gv a JOIN gv b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x <= 7
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN y < 4
+             THEN CAST(b AS BIGINT) << (31 - (y * 8 + x)) ELSE 0 END)
+           AS dhash_hi,
+         sum(CASE WHEN y >= 4
+             THEN CAST(b AS BIGINT) << (31 - ((y - 4) * 8 + x)) ELSE 0 END)
+           AS dhash_lo
+  FROM dbits GROUP BY doc_id
+)"""
+    out["image_dhash"] = (
+        _DHASH_SIG
+        + """
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(dhash_hi AS BIGINT) AS dhash_hi,
+       CAST(dhash_lo AS BIGINT) AS dhash_lo,
+       CAST(16 AS INTEGER) AS height, CAST(16 AS INTEGER) AS width
+FROM sig"""
+    )
+    out["image_near_dups"] = (
+        _DHASH_SIG
+        + """,
+refs AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS ref,
+                dhash_hi, dhash_lo FROM sig),
+cand AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b,
+         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+  FROM refs a JOIN refs b ON a.ref < b.ref
+)
+SELECT ref_a, ref_b, hamming FROM cand WHERE hamming <= 6"""
+    )
     return _driver_order(out)

@@ -533,3 +533,51 @@ def media_table(spark, n: int = 30):
         rows.append((ref, kind, bytearray(payload), {"source": "synth"}))
     pdf = pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+
+
+def corpus_media(docs, id_col: str = "doc_id"):
+    """Distributed deterministic image corpus for the near-dup
+    pipeline: one 16x16 grayscale 24-bit BMP per document, pixel values
+    md5-derived from ``base = doc_id // 3`` (so consecutive id triples
+    share a base image — near-dup groups exist at EVERY corpus scale,
+    and pair counts stay O(n), never quadratic), with documents at
+    ``doc_id % 3 == 2`` perturbed by +128 (mod 256) at one
+    id-determined pixel. Real encoded BMP bytes via the multimodal
+    encoder — downstream decode runs on genuine format bytes; the
+    md5-pixel rule is portable so a DuckDB oracle recomputes the
+    expected hashes without a codec. Runs as one mapInPandas over the
+    documents scan (per-base image cache inside each batch)."""
+    import hashlib
+
+    from docstrange_spark.operators import multimodal as mm
+
+    def gen(batches):
+        cache: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did // 3
+                img = cache.get(base)
+                if img is None:
+                    img = np.empty((16, 16), np.uint8)
+                    for y in range(16):
+                        for x in range(16):
+                            img[y, x] = int(
+                                hashlib.md5(
+                                    f"img|{base}|{y}|{x}".encode()
+                                ).hexdigest()[:2],
+                                16,
+                            )
+                    cache[base] = img
+                img = img.copy()
+                if did % 3 == 2:
+                    py, px = (did // 3) % 16, did % 16
+                    img[py, px] = (int(img[py, px]) + 128) % 256
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                rows.append((f"img-{did}", "image", mm.encode_bmp(rgb)))
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )

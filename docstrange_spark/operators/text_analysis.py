@@ -958,3 +958,84 @@ def filter_funnel(
             ).alias("reject_frac"),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus and report per-doc
+    tokenization stats — the second half of the tokenizer loop
+    (:func:`bpe_train` learns the merges; this measures what they buy).
+    ``merges`` defaults to training ``n_merges`` merges on ``df``
+    itself (train + encode in one call — the merge-learning jobs run at
+    plan-build time). Returns (doc_id, n_pieces, n_bpe_tokens, n_chars,
+    compression) with compression = chars per BPE token.
+
+    Scale shape: the merge replace-chain runs once per DISTINCT piece
+    (the Zipf reduction — "the" is encoded once, not per occurrence);
+    per-doc piece occurrence counts join the distinct-piece symbol
+    table on the piece key (plain shuffle join, both sides corpus-
+    shaped but narrow); everything after the pre-tokenizer explode is
+    whole-stage codegen."""
+    S = BPE_SEP
+    if merges is None:
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_train(
+                df, id_col=id_col, text_col=text_col, n_merges=n_merges
+            ).collect()
+        ]
+    dpieces = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.replace(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    F.lit(S),
+                    F.lit(""),
+                ),
+                F.lit(BPE_PIECE_RE),
+                0,
+            )
+        ).alias("piece"),
+    )
+    dpc = dpieces.groupBy("doc_id", "piece").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    inner = F.regexp_replace("piece", "(?s)(.)", S + S + "$1")
+    rep = F.concat(F.substr(inner, F.lit(2), F.length(inner)), F.lit(S))
+    for l, r in merges:
+        rep = F.replace(rep, F.lit(S + l + S + S + r + S), F.lit(S + l + r + S))
+    nsym = dpieces.select("piece").distinct().select(
+        "piece",
+        F.size(
+            F.split(F.substr(rep, F.lit(2), F.length(rep) - 2), S + S)
+        ).cast("long").alias("n_sym"),
+        F.length("piece").cast("long").alias("p_chars"),
+    )
+    return (
+        dpc.join(nsym, "piece")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.sum(F.col("k") * F.col("n_sym")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.sum(F.col("k") * F.col("p_chars")).cast("long").alias(
+                "n_chars"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_pieces",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "compression"
+            ),
+        )
+    )

@@ -93,3 +93,44 @@ def test_zero_frame_wav_features():
     assert len(feats) == 16
     assert feats[0] == 0.0 and feats[1] == 8000.0
     assert all(f == f for f in feats)  # no NaN
+
+
+def test_dhash_bits_known_image():
+    # hand-checkable 8x9 gradient: every left pixel darker than its
+    # right neighbor -> all 64 bits zero; reversed -> all ones
+    img = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+    assert mm.dhash_bits(img) == (0, 0)
+    rev = img[:, ::-1].copy()
+    assert mm.dhash_bits(rev) == (2**32 - 1, 2**32 - 1)
+    # words always fit 32 unsigned bits (split-word portability)
+    hi, lo = mm.dhash_bits(np.random.default_rng(7).integers(
+        0, 256, size=(16, 16, 3), dtype=np.uint8
+    ))
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_dhash_invariant_to_encode_roundtrip():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    back = mm.decode_bmp(mm.encode_bmp(img))
+    assert mm.dhash_bits(img) == mm.dhash_bits(back)
+
+
+def test_image_near_dups_triples(spark):
+    # corpus_media makes id-triples share a base image with one
+    # perturbed member: every triple must pair up within hamming 6,
+    # and no pair may cross triples (independent md5 bases)
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    media = datagen.corpus_media(docs)
+    pairs = mm.image_near_dups(media, max_hamming=6).collect()
+    assert len(pairs) == 30  # 10 triples x C(3,2)
+    for r in pairs:
+        a = int(r["ref_a"].split("-")[1])
+        b = int(r["ref_b"].split("-")[1])
+        assert a // 3 == b // 3, (a, b)
+        assert r["hamming"] <= 6
+
+
+def test_image_near_dups_max_hamming_bound():
+    with pytest.raises(ValueError):
+        mm.image_near_dups(None, max_hamming=8)
