@@ -1165,6 +1165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datagen.corpus_media(_docs(spark, sf_dir)), max_hamming=6
         )
 
+    def q_image_clusters(spark, sf_dir):
+        # cross-modal dedup unit: near-dup image components with
+        # min-ref labels (same closure machinery as the text paths)
+        from docstrange_spark import datagen
+        from docstrange_spark.operators import multimodal
+
+        return multimodal.image_clusters(
+            datagen.corpus_media(_docs(spark, sf_dir)), max_hamming=6
+        )
+
     return _driver_order({
         "extract_markdown": q_extract_markdown,
         "extract_sections": q_extract_sections,
@@ -1282,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
+        "image_clusters": q_image_clusters,
     })
 
 
@@ -4336,5 +4347,23 @@ cand AS (
   FROM refs a JOIN refs b ON a.ref < b.ref
 )
 SELECT ref_a, ref_b, hamming FROM cand WHERE hamming <= 6"""
+    )
+    out["image_clusters"] = (
+        "WITH RECURSIVE "
+        + _DHASH_SIG[len("WITH ") :]
+        + """,
+refs AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS ref,
+                dhash_hi, dhash_lo FROM sig),
+cand AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b,
+         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+  FROM refs a JOIN refs b ON a.ref < b.ref
+),
+eligible AS (SELECT ref_a AS doc_a, ref_b AS doc_b FROM cand
+             WHERE hamming <= 6)"""
+        + _closure_cte("eligible", "(SELECT ref AS doc_id FROM refs)")
+        + """
+SELECT n AS media_ref, min(l) AS cluster_rep FROM reach GROUP BY n"""
     )
     return _driver_order(out)

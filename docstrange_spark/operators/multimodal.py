@@ -405,8 +405,6 @@ def image_near_dups(
     hamming in whole-stage codegen. At 10^10 images a byte-band still
     buckets n/256 per band value — production sets ``max_bucket_size``
     exactly like the text paths."""
-    from docstrange_spark.operators.dedup import bucket_pairs
-
     if not 0 <= max_hamming < IMG_BANDS:
         raise ValueError(
             f"max_hamming must be in [0, {IMG_BANDS - 1}] for the "
@@ -415,6 +413,17 @@ def image_near_dups(
     sigs = image_dhash(media).select(
         "media_ref", "dhash_hi", "dhash_lo"
     ).localCheckpoint()
+    return _dhash_pairs(sigs, max_hamming, max_bucket_size)
+
+
+def _dhash_pairs(
+    sigs: DataFrame, max_hamming: int, max_bucket_size: int | None
+) -> DataFrame:
+    """Band + verify over an already-materialized signature table
+    (shared by image_near_dups and image_clusters so the decode kernel
+    runs exactly once per pipeline)."""
+    from docstrange_spark.operators.dedup import bucket_pairs
+
     bands = sigs.select(
         "media_ref",
         F.explode(
@@ -462,4 +471,44 @@ def image_near_dups(
         .join(sb, "ref_b")
         .select("ref_a", "ref_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_clusters(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup image clusters: dHash band pairs -> connected
+    components with min-ref labels — the cross-modal dedup unit ("these
+    N pages carry the same image") that catches duplicates text MinHash
+    structurally cannot see (same photo, rewritten caption). Returns
+    (media_ref, cluster_rep) for every IMAGE payload; singletons are
+    their own rep.
+
+    Scale shape: one decode pass (shared checkpointed signature
+    table feeds banding, both hamming joins, and the component
+    vertices), the shared bucket_pairs machinery, then
+    dedup.connected_components' O(log diameter) pointer jumping — the
+    same plan as the text paths, keyed by media_ref strings."""
+    from docstrange_spark.operators.dedup import connected_components
+
+    if not 0 <= max_hamming < IMG_BANDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {IMG_BANDS - 1}] for the "
+            f"{IMG_BANDS}-band pigeonhole guarantee (got {max_hamming})"
+        )
+    sigs = image_dhash(media).select(
+        "media_ref", "dhash_hi", "dhash_lo"
+    ).localCheckpoint()
+    pairs = _dhash_pairs(sigs, max_hamming, max_bucket_size).select(
+        F.col("ref_a").alias("doc_a"), F.col("ref_b").alias("doc_b")
+    )
+    # connected_components names its output (doc_id, cluster_rep)
+    # regardless of id_col — map back to the media key
+    return connected_components(
+        sigs.select("media_ref"), pairs, id_col="media_ref"
+    ).select(
+        F.col("doc_id").alias("media_ref"),
+        F.col("cluster_rep").cast("string").alias("cluster_rep"),
     )
