@@ -118,6 +118,30 @@ _DRIVER_PRIORITY = [
     "dup_ngram_stats",
     "dup_span_scrub",
     "semantic_dedup",
+    "bpe_pair_counts",
+    "bigram_logprob",
+    "oov_rate",
+    "source_overlap",
+    "kmeans_step",
+    "embedding_project",
+    "pq_codes",
+    "pq_error",
+    "hard_negatives",
+    "bpe_train",
+    "filter_funnel",
+    "zipf_fit",
+    "boilerplate_lines",
+    "dedup_keep_best",
+    "budget_select",
+    "bpe_encode",
+    "image_dhash",
+    "image_near_dups",
+    "image_clusters",
+    "audio_fingerprint",
+    "audio_near_dups",
+    "audio_clusters",
+    "event_funnel",
+    "retention_cohorts",
     # (b) stale since round 2
     "renditions",
     "chunks",
@@ -1175,6 +1199,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datagen.corpus_media(_docs(spark, sf_dir)), max_hamming=6
         )
 
+    def q_audio_fingerprint(spark, sf_dir):
+        # acoustic fingerprints over REAL 16-bit PCM WAV bytes
+        # (deterministic md5-amplitude corpus); the oracle recomputes
+        # from the sample rule, so parity proves the whole
+        # encode->decode->frame-energy chain is integer-exact
+        from docstrange_spark import datagen
+        from docstrange_spark.operators import multimodal
+
+        return multimodal.audio_fingerprint(
+            datagen.corpus_audio(_docs(spark, sf_dir))
+        )
+
+    def q_audio_near_dups(spark, sf_dir):
+        # banded fingerprint near-dup pairs; all-pairs oracle exact by
+        # the same 8-byte-band pigeonhole as the image path
+        from docstrange_spark import datagen
+        from docstrange_spark.operators import multimodal
+
+        return multimodal.audio_near_dups(
+            datagen.corpus_audio(_docs(spark, sf_dir)), max_hamming=6
+        )
+
+    def q_audio_clusters(spark, sf_dir):
+        # near-dup audio components with min-ref labels (the shared
+        # pointer-jumping closure over acoustic signature pairs)
+        from docstrange_spark import datagen
+        from docstrange_spark.operators import multimodal
+
+        return multimodal.audio_clusters(
+            datagen.corpus_audio(_docs(spark, sf_dir)), max_hamming=6
+        )
+
+    def q_event_funnel(spark, sf_dir):
+        # ordered view->click->purchase funnel: one collect-sorted
+        # per-user aggregate + JVM F.aggregate walk (no S-way
+        # self-join); oracle is the classic min-after-min SQL chain
+        from docstrange_spark.operators import events as ev_ops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev_ops.event_funnel(ev, ["view", "click", "purchase"])
+
+    def q_retention_cohorts(spark, sf_dir):
+        # cohort-by-first-event-date retention triangle; cohort_date
+        # emitted as an ISO string (contract convention: no raw
+        # temporal types in compared outputs — cf. session_start_us)
+        from docstrange_spark.operators import events as ev_ops
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev_ops.retention_cohorts(ev, max_day=30).withColumn(
+            "cohort_date", F.date_format("cohort_date", "yyyy-MM-dd")
+        )
+
     return _driver_order({
         "extract_markdown": q_extract_markdown,
         "extract_sections": q_extract_sections,
@@ -1293,6 +1369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
         "image_clusters": q_image_clusters,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_near_dups": q_audio_near_dups,
+        "audio_clusters": q_audio_clusters,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
     })
 
 
@@ -4366,4 +4447,126 @@ eligible AS (SELECT ref_a AS doc_a, ref_b AS doc_b FROM cand
         + """
 SELECT n AS media_ref, min(l) AS cluster_rep FROM reach GROUP BY n"""
     )
+    # Frame-energy audio fingerprint over the md5-amplitude WAV corpus
+    # (datagen.corpus_audio): the oracle recomputes the 64 sign bits
+    # from the GENERATIVE sample rule — Spark's answer travels through
+    # real RIFF/WAVE bytes (encode -> wave decode -> float -> exact
+    # int16 recovery -> frame energies), so a fingerprint match proves
+    # the codec chain is integer-exact. Layout mirrors
+    # multimodal.afp_bits: hi = bits 0-31 MSB-first, lo = bits 32-63.
+    _HEX4 = (
+        "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+        "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)"
+    )
+    _AFP_SIG = f"""WITH adocs AS (SELECT doc_id FROM documents),
+samp AS (
+  SELECT doc_id, t, t // 4 AS frame
+  FROM adocs, unnest(generate_series(0, 259)) AS ut(t)
+),
+uv AS (
+  SELECT doc_id, frame,
+         CASE WHEN doc_id % 3 = 2 AND t >= 4 * (doc_id % 63)
+                   AND t < 4 * (doc_id % 63) + 8
+              THEN (hb + 8192) % 65536 ELSE hb END AS u
+  FROM (
+    SELECT *, {_HEX4} AS hb FROM (
+      SELECT *, md5('aud|' || CAST(doc_id // 3 AS VARCHAR) || '|' ||
+                    CAST(t AS VARCHAR)) AS h
+      FROM samp
+    )
+  )
+),
+en AS (
+  SELECT doc_id, frame, sum(abs((u % 65535) - 32767)) AS e
+  FROM uv GROUP BY doc_id, frame
+),
+abits AS (
+  SELECT a.doc_id, a.frame AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
+  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+  WHERE a.frame <= 63
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN k < 32
+             THEN CAST(b AS BIGINT) << (31 - k) ELSE 0 END) AS afp_hi,
+         sum(CASE WHEN k >= 32
+             THEN CAST(b AS BIGINT) << (63 - k) ELSE 0 END) AS afp_lo
+  FROM abits GROUP BY doc_id
+)"""
+    out["audio_fingerprint"] = (
+        _AFP_SIG
+        + """
+SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(afp_hi AS BIGINT) AS afp_hi, CAST(afp_lo AS BIGINT) AS afp_lo,
+       CAST(260 AS INTEGER) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate
+FROM sig"""
+    )
+    out["audio_near_dups"] = (
+        _AFP_SIG
+        + """,
+refs AS (SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS ref,
+                afp_hi, afp_lo FROM sig),
+cand AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b,
+         CAST(bit_count(xor(a.afp_hi, b.afp_hi))
+              + bit_count(xor(a.afp_lo, b.afp_lo)) AS BIGINT) AS hamming
+  FROM refs a JOIN refs b ON a.ref < b.ref
+)
+SELECT ref_a, ref_b, hamming FROM cand WHERE hamming <= 6"""
+    )
+    out["audio_clusters"] = (
+        "WITH RECURSIVE "
+        + _AFP_SIG[len("WITH ") :]
+        + """,
+refs AS (SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS ref,
+                afp_hi, afp_lo FROM sig),
+cand AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b,
+         CAST(bit_count(xor(a.afp_hi, b.afp_hi))
+              + bit_count(xor(a.afp_lo, b.afp_lo)) AS BIGINT) AS hamming
+  FROM refs a JOIN refs b ON a.ref < b.ref
+),
+eligible AS (SELECT ref_a AS doc_a, ref_b AS doc_b FROM cand
+             WHERE hamming <= 6)"""
+        + _closure_cte("eligible", "(SELECT ref AS doc_id FROM refs)")
+        + """
+SELECT n AS media_ref, min(l) AS cluster_rep FROM reach GROUP BY n"""
+    )
+    # Ordered funnel: t_i = min(ts) of step i strictly after t_{i-1} —
+    # the S-way min-after-min chain; Spark's single sorted-array walk
+    # takes the first qualifying occurrence, which is the same minimum.
+    out["event_funnel"] = """WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       (SELECT count(*) FROM t1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM t3)"""
+    out["retention_cohorts"] = """WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT f.cohort_date, CAST(e.ts AS DATE) AS d, e.user_id
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+       CAST(d - cohort_date AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act WHERE d - cohort_date <= 30
+GROUP BY cohort_date, day_offset"""
     return _driver_order(out)

@@ -581,3 +581,71 @@ def corpus_media(docs, id_col: str = "doc_id"):
     return docs.select(id_col).mapInPandas(
         gen, "media_ref string, kind string, payload binary"
     )
+
+
+AUDIO_SAMPLES = 260  # 65 frames x 4 samples for the 64-bit fingerprint
+
+
+def corpus_audio(docs, id_col: str = "doc_id"):
+    """Distributed deterministic audio corpus for the acoustic near-dup
+    pipeline — the WAV twin of :func:`corpus_media`: one 260-sample
+    mono 16-bit PCM clip (8 kHz) per document, amplitudes md5-derived
+    from ``base = doc_id // 3`` (consecutive id triples share a base
+    clip — near-dup groups exist at EVERY corpus scale, pair counts
+    stay O(n)), with documents at ``doc_id % 3 == 2`` perturbed by
+    +8192 (mod 65536) over the 8 samples of two id-determined
+    consecutive frames (``f0 = doc_id % 63``) — two frame energies
+    move, so at most the 3 adjacent sign bits flip: perturbed members
+    sit at hamming 0-3 from their base, inside the detection
+    threshold but NOT always at 0. Sample rule, all integer so a
+    DuckDB oracle recomputes expected fingerprints without a codec:
+
+        u(t) = int(md5(f"aud|{base}|{t}")[:4], 16)      # uint16
+        u'(t) = (u + 8192) % 65536  for t in [4*f0, 4*f0+8)
+        s(t) = u % 65535 - 32767                        # in [-32767, 32767]
+
+    (the mod-65535 fold keeps s away from -32768, so the int16 WAV
+    payload round-trips bit-exactly through the float decode path).
+    Bytes are a genuine RIFF/WAVE container written from the int16
+    array directly — downstream decode runs the real
+    ``multimodal.decode_wav`` codec. One mapInPandas over the
+    documents scan, per-base sample cache inside each batch."""
+    import hashlib
+    import io
+    import wave
+
+    def gen(batches):
+        cache: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did // 3
+                u = cache.get(base)
+                if u is None:
+                    u = np.empty(AUDIO_SAMPLES, np.int64)
+                    for t in range(AUDIO_SAMPLES):
+                        u[t] = int(
+                            hashlib.md5(
+                                f"aud|{base}|{t}".encode()
+                            ).hexdigest()[:4],
+                            16,
+                        )
+                    cache[base] = u
+                u = u.copy()
+                if did % 3 == 2:
+                    t0 = 4 * (did % 63)
+                    u[t0 : t0 + 8] = (u[t0 : t0 + 8] + 8192) % 65536
+                s = (u % 65535 - 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(8000)
+                    f.writeframes(s.tobytes())
+                rows.append((f"aud-{did}", "audio", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )

@@ -512,3 +512,138 @@ def image_clusters(
         F.col("doc_id").alias("media_ref"),
         F.col("cluster_rep").cast("string").alias("cluster_rep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (frame-energy sign bits — the acoustic twin of dHash)
+
+AFP_FRAMES = 65  # 65 frame energies -> 64 consecutive-frame sign bits
+
+AFP_SCHEMA_DDL = (
+    "media_ref string, afp_hi long, afp_lo long, "
+    "n_samples int, sample_rate int"
+)
+
+
+def afp_bits(samples_i16: np.ndarray) -> tuple[int, int]:
+    """64-bit audio fingerprint of one mono int16 sample array: split
+    the stream into ``AFP_FRAMES`` equal frames (tail truncated),
+    frame energy = integer sum of absolute amplitudes, bit k = frame k
+    strictly louder than frame k+1. This is the frame-energy-contour
+    scheme of Haitsma & Kalker's 'Highly robust audio fingerprinting'
+    (2002) reduced to one band — public knowledge, all-integer, so a
+    SQL oracle reproduces it bit-for-bit. Layout mirrors
+    :func:`dhash_bits`: hi = bits 0-31 MSB-first, lo = bits 32-63,
+    both words positive in every engine."""
+    n = samples_i16.shape[0]
+    flen = n // AFP_FRAMES
+    if flen == 0:
+        raise ValueError(f"need >= {AFP_FRAMES} samples, got {n}")
+    used = samples_i16[: flen * AFP_FRAMES].astype(np.int64)
+    energy = np.abs(used).reshape(AFP_FRAMES, flen).sum(axis=1)
+    bits = (energy[:-1] > energy[1:]).astype(np.uint8)
+    hi = lo = 0
+    for idx in range(32):
+        hi = (hi << 1) | int(bits[idx])
+    for idx in range(32, 64):
+        lo = (lo << 1) | int(bits[idx])
+    return hi, lo
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-clip acoustic fingerprint table: decode (real 16-bit PCM WAV
+    codec), integer-mean down to mono, frame-energy sign bits — one
+    Arrow-batched kernel pass, skipping non-WAV payloads and clips too
+    short for the 65-frame grid. Returns
+    (media_ref, afp_hi, afp_lo, n_samples, sample_rate)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if sniff_format(payload) != "wav":
+                    continue
+                x, rate = decode_wav(payload)
+                # decode_wav scales by 1/32767; rint recovers the exact
+                # int16 (|v| <= 32767 has 15 bits, float32 carries 24)
+                ints = np.rint(x * 32767.0).astype(np.int64)
+                mono = ints.sum(axis=1) // ints.shape[1]
+                if mono.shape[0] < AFP_FRAMES:
+                    continue
+                hi, lo = afp_bits(mono)
+                rows.append((ref, hi, lo, mono.shape[0], rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "afp_hi", "afp_lo", "n_samples",
+                    "sample_rate",
+                ],
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(
+        run, schema=AFP_SCHEMA_DDL
+    )
+
+
+def _afp_sigs(media: DataFrame) -> DataFrame:
+    """Checkpointed fingerprint table renamed to the shared dhash
+    column layout, so the byte-band pairing machinery is reused
+    verbatim (one decode pass feeds banding and both hamming joins)."""
+    return audio_fingerprint(media).select(
+        "media_ref",
+        F.col("afp_hi").alias("dhash_hi"),
+        F.col("afp_lo").alias("dhash_lo"),
+    ).localCheckpoint()
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs over the frame-energy fingerprint —
+    the acoustic twin of :func:`image_near_dups`: 8 byte-bands over the
+    64-bit fingerprint (pigeonhole: hamming <= 7 implies a shared
+    band), pair clips sharing ANY band, verify by exact hamming
+    ``<= max_hamming``. Returns (ref_a, ref_b, hamming), ref_a < ref_b.
+
+    Scale shape: identical to the image path — one Python decode pass
+    over a checkpointed signature table, the shared ``bucket_pairs``
+    band machinery (never all-pairs, chain-cap via
+    ``max_bucket_size``), hamming verification in whole-stage
+    codegen."""
+    if not 0 <= max_hamming < IMG_BANDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {IMG_BANDS - 1}] for the "
+            f"{IMG_BANDS}-band pigeonhole guarantee (got {max_hamming})"
+        )
+    return _dhash_pairs(_afp_sigs(media), max_hamming, max_bucket_size)
+
+
+def audio_clusters(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup audio clusters: fingerprint band pairs -> connected
+    components with min-ref labels, exactly :func:`image_clusters`
+    over the acoustic signature. Returns (media_ref, cluster_rep) for
+    every WAV payload; singletons are their own rep."""
+    from docstrange_spark.operators.dedup import connected_components
+
+    if not 0 <= max_hamming < IMG_BANDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {IMG_BANDS - 1}] for the "
+            f"{IMG_BANDS}-band pigeonhole guarantee (got {max_hamming})"
+        )
+    sigs = _afp_sigs(media)
+    pairs = _dhash_pairs(sigs, max_hamming, max_bucket_size).select(
+        F.col("ref_a").alias("doc_a"), F.col("ref_b").alias("doc_b")
+    )
+    return connected_components(
+        sigs.select("media_ref"), pairs, id_col="media_ref"
+    ).select(
+        F.col("doc_id").alias("media_ref"),
+        F.col("cluster_rep").cast("string").alias("cluster_rep"),
+    )

@@ -134,3 +134,83 @@ def test_image_near_dups_triples(spark):
 def test_image_near_dups_max_hamming_bound():
     with pytest.raises(ValueError):
         mm.image_near_dups(None, max_hamming=8)
+
+
+def test_afp_bits_known_signal():
+    # 260 samples whose frame energies strictly decrease -> every
+    # consecutive-frame comparison is True -> all 64 bits set
+    import numpy as np
+
+    desc = np.repeat(np.arange(65, 0, -1) * 100, 4)
+    hi, lo = mm.afp_bits(desc)
+    assert hi == 0xFFFFFFFF and lo == 0xFFFFFFFF
+    # ascending energies -> no bit set
+    hi, lo = mm.afp_bits(np.repeat(np.arange(1, 66) * 100, 4))
+    assert (hi, lo) == (0, 0)
+    with pytest.raises(ValueError):
+        mm.afp_bits(np.arange(10))
+
+
+def test_afp_invariant_to_wav_roundtrip():
+    # the fingerprint of an int16 signal survives the float WAV
+    # encode/decode path bit-exactly (rint recovery)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32767, 32768, size=260).astype(np.int64)
+    direct = mm.afp_bits(s)
+    payload = mm.encode_wav((s / 32767.0).astype(np.float64), 8000)
+    x, rate = mm.decode_wav(payload)
+    ints = np.rint(x * 32767.0).astype(np.int64)
+    assert rate == 8000
+    assert mm.afp_bits(ints.sum(axis=1) // ints.shape[1]) == direct
+
+
+def test_audio_near_dups_triples(spark):
+    # corpus_audio id-triples share a base clip with one
+    # frame-perturbed member: every triple pairs up within hamming 6
+    # (perturbation flips at most 3 adjacent bits), none cross triples
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    media = datagen.corpus_audio(docs)
+    pairs = mm.audio_near_dups(media, max_hamming=6).collect()
+    assert len(pairs) == 30  # 10 triples x C(3,2)
+    for r in pairs:
+        a = int(r["ref_a"].split("-")[1])
+        b = int(r["ref_b"].split("-")[1])
+        assert a // 3 == b // 3, (a, b)
+        assert r["hamming"] <= 3
+
+
+def test_audio_clusters_reps(spark):
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    clusters = {
+        r["media_ref"]: r["cluster_rep"]
+        for r in mm.audio_clusters(
+            datagen.corpus_audio(docs), max_hamming=6
+        ).collect()
+    }
+    assert len(clusters) == 12
+    for did in range(12):
+        # min-ref label is the LEXICOGRAPHIC min within the triple
+        # (e.g. 'aud-10' < 'aud-9'), matching the string-keyed closure
+        base = did // 3
+        expect = min(f"aud-{base * 3 + j}" for j in range(3))
+        assert clusters[f"aud-{did}"] == expect
+
+
+def test_audio_near_dups_max_hamming_bound():
+    with pytest.raises(ValueError):
+        mm.audio_near_dups(None, max_hamming=8)
+    with pytest.raises(ValueError):
+        mm.audio_clusters(None, max_hamming=-1)
+
+
+def test_audio_fingerprint_skips_non_wav(spark):
+    # mixed media: only WAV rows produce fingerprints
+    media = datagen.media_table(spark, n=9)  # BMP/PPM/WAV cycle
+    out = mm.audio_fingerprint(media).collect()
+    assert {r["media_ref"] for r in out} == {
+        f"media-{i:06d}" for i in range(9) if i % 3 == 2
+    }
+    for r in out:
+        assert r["sample_rate"] == 8000 and r["n_samples"] >= 65

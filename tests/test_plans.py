@@ -167,3 +167,37 @@ def test_embedding_project_pure_projection(spark):
     df = similarity.embedding_project(emb)
     assert plans.count_exchanges(df) == 0
     assert plans.count_python_stages(df) == 0
+
+
+def test_event_funnel_one_shuffle_no_python(spark):
+    from docstrange_spark.operators import events as ev_ops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = ev_ops.event_funnel(ev, ["view", "click", "purchase"])
+    # one per-user exchange for the collect (the trailing 1-row
+    # explode-aggregate adds a single-partition exchange over S rows)
+    assert plans.count_python_stages(df) == 0
+    plans.assert_max_shuffles(df, 2)
+    # filter on participating types pushed to the scan
+    assert any("event_type" in f for f in plans.pushed_filters(df))
+    plans.assert_scan_pruned(df, ["value", "props"])
+
+
+def test_retention_cohorts_plan_shape(spark):
+    from docstrange_spark.operators import events as ev_ops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = ev_ops.retention_cohorts(ev)
+    assert plans.count_python_stages(df) == 0
+    plans.assert_scan_pruned(df, ["value", "props", "event_type"])
+
+
+def test_audio_near_dups_single_decode_pass(spark):
+    from docstrange_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    sigs = mm._afp_sigs(datagen.corpus_audio(docs))
+    # checkpointed signature table: downstream banding + both hamming
+    # joins must not re-run the decode kernel
+    df = mm._dhash_pairs(sigs, 6, None)
+    assert plans.count_python_stages(df) == 0
