@@ -146,6 +146,7 @@ _DRIVER_PRIORITY = [
     "retention_cohorts",
     "pq_codes",
     "hard_negatives",
+    "classifier_calibration",
     # ---- ~50-row driver window boundary (r3/r4 files were exactly 50
     # rows) — everything below is covered by tests/test_oracle_parity's
     # local all-queries run and by earlier rounds' driver files --------
@@ -597,6 +598,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return preds.groupBy("pred", "label").agg(
             F.count("*").cast("long").alias("n")
         )
+
+    def q_classifier_calibration(spark, sf_dir):
+        # reliability diagram: decile bins of predicted probability vs
+        # empirical positive rate — "are the scores usable as weights"
+        from docstrange_spark.operators import classifier
+
+        preds = classifier.quality_classifier(
+            _docs(spark, sf_dir), F.col("lang") == F.lit("en")
+        )
+        return classifier.calibration_bins(preds)
 
     def q_cluster_sizes(spark, sf_dir):
         # duplication profile: histogram of near-dup cluster sizes
@@ -1327,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sizes": q_cluster_sizes,
         "ann_recall": q_ann_recall,
         "classifier_eval": q_classifier_eval,
+        "classifier_calibration": q_classifier_calibration,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -3315,6 +3327,16 @@ FROM s3"""
         "WITH preds AS (" + out["quality_classifier"] + ")\n"
         "SELECT pred, label, CAST(count(*) AS BIGINT) AS n\n"
         "FROM preds GROUP BY pred, label"
+    )
+    out["classifier_calibration"] = (
+        "WITH preds AS (" + out["quality_classifier"] + ")\n"
+        "SELECT least(CAST(floor(prob * 10.0) AS BIGINT), 9) AS prob_bin,\n"
+        "       CAST(count(*) AS BIGINT) AS n,\n"
+        "       CAST(sum(label) AS BIGINT) AS n_pos,\n"
+        "       round(sum(CAST(round(prob * 1000000.0) AS BIGINT))"
+        " / (1000000.0 * count(*)), 6) AS mean_prob,\n"
+        "       round(sum(label) * 1.0 / count(*), 6) AS pos_rate\n"
+        "FROM preds GROUP BY 1"
     )
     out["line_filters"] = MD_CTE + r""",
 lf_t AS (SELECT doc_id, string_split(coalesce(markdown, ''), chr(10)) AS ls FROM md),

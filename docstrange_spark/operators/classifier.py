@@ -204,3 +204,43 @@ def quality_classifier(
     zfeats, _, _ = standardize(feats, ["f1", "f2", "f3"])
     w = train_logreg(zfeats, ["f1", "f2", "f3"], "y", iters=iters, lr=lr)
     return predict_logreg(zfeats, ["f1", "f2", "f3"], w, label_col="y")
+
+
+def calibration_bins(preds: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram for a scored classifier: bucket predictions
+    by probability decile and compare the bin's mean predicted
+    probability against its empirical positive rate — the standard
+    check that a quality classifier's scores are usable as sampling
+    weights (an over-confident classifier silently skews any
+    probability-weighted corpus selection downstream).
+
+    Input is ``predict_logreg`` output (``doc_id, prob, pred, label``).
+    Cross-engine exactness: ``prob`` is already rounded to 6 dp, so
+    ``round(prob * 1e6)`` is an exact integer per row and ``mean_prob``
+    is an integer-sum ratio; ``pos_rate`` is a count ratio. Bin edges
+    use IEEE ``floor(prob * 10)`` on identical doubles in both engines
+    (the 1.0 endpoint clamps into the top bin).
+
+    The 100 TB shape: one map-side-combined aggregation over the
+    scored table, ``n_bins`` output rows.
+    """
+    b = F.least(
+        F.floor(F.col("prob") * F.lit(float(n_bins))).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        preds.groupBy(b.alias("prob_bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("label").cast("long")).cast("long").alias("n_pos"),
+            F.round(
+                F.sum(F.round(F.col("prob") * F.lit(MICRO)).cast("long"))
+                / (F.lit(MICRO) * F.count("*")),
+                6,
+            ).alias("mean_prob"),
+            F.round(
+                F.sum(F.col("label").cast("long")) / F.count("*"), 6
+            ).alias("pos_rate"),
+        )
+        .select("prob_bin", "n", "n_pos", "mean_prob", "pos_rate")
+    )

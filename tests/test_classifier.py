@@ -81,3 +81,19 @@ def test_empty_text_docs_do_not_poison_training(spark):
     assert len(out) == 22
     for d in (100, 101):
         assert out[d]["prob"] is not None and out[d]["pred"] is not None
+
+
+def test_calibration_bins_partition_and_bounds(docs):
+    preds = classifier.quality_classifier(docs, F.col("lang") == F.lit("en"))
+    cal = classifier.calibration_bins(preds).collect()
+    # bins partition the scored set exactly
+    assert sum(r["n"] for r in cal) == preds.count()
+    assert len({r["prob_bin"] for r in cal}) == len(cal)
+    for r in cal:
+        assert 0 <= r["prob_bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert 0.0 <= r["mean_prob"] <= 1.0
+        assert abs(r["pos_rate"] - r["n_pos"] / r["n"]) < 1e-6
+        # the bin's mean predicted prob lies inside the bin (clamped top)
+        lo, hi = r["prob_bin"] / 10.0, (r["prob_bin"] + 1) / 10.0
+        assert lo - 1e-6 <= r["mean_prob"] <= (hi + 1e-6 if r["prob_bin"] < 9 else 1.0 + 1e-6)
