@@ -147,6 +147,7 @@ _DRIVER_PRIORITY = [
     "pq_codes",
     "hard_negatives",
     "classifier_calibration",
+    "passage_search",
     # ---- ~50-row driver window boundary (r3/r4 files were exactly 50
     # rows) — everything below is covered by tests/test_oracle_parity's
     # local all-queries run and by earlier rounds' driver files --------
@@ -598,6 +599,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return preds.groupBy("pred", "label").agg(
             F.count("*").cast("long").alias("n")
         )
+
+    def q_passage_search(spark, sf_dir):
+        # RAG passage retrieval: BM25 over SECTIONS instead of whole
+        # docs — the chunk-granularity index a retrieval pipeline
+        # actually serves. Reuses the verified section split and the
+        # micro-unit-exact BM25 with its two-phase top-k.
+        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
+        secs = navigation.sections_relational(md)
+        passages = secs.select(
+            F.concat_ws(
+                "#", F.col("doc_id"), F.col("section_idx").cast("string")
+            ).alias("passage_id"),
+            F.col("content").alias("text"),
+        )
+        return retrieval.bm25_search(
+            passages, ["spark", "window"], id_col="passage_id", top_k=20
+        ).withColumnRenamed("doc_id", "passage_id")
 
     def q_classifier_calibration(spark, sf_dir):
         # reliability diagram: decile bins of predicted probability vs
@@ -1339,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "classifier_eval": q_classifier_eval,
         "classifier_calibration": q_classifier_calibration,
+        "passage_search": q_passage_search,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -3337,6 +3356,50 @@ FROM s3"""
         " / (1000000.0 * count(*)), 6) AS mean_prob,\n"
         "       round(sum(label) * 1.0 / count(*), 6) AS pos_rate\n"
         "FROM preds GROUP BY 1"
+    )
+    out["passage_search"] = (
+        MD_CTE
+        + SECTIONS_CTE
+        + r""",
+psg AS (
+  SELECT doc_id || '#' || CAST(section_idx AS VARCHAR) AS passage_id,
+         content AS text
+  FROM sections
+),
+plens AS (
+  SELECT passage_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl
+  FROM psg
+),
+ptot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM plens),
+pp AS (
+  SELECT passage_id, u.term
+  FROM (SELECT passage_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM psg) t, unnest(toks) AS u(term)
+  WHERE u.term IN ('spark', 'window')
+),
+ptfs AS (SELECT passage_id, term, count(*) AS tf FROM pp GROUP BY passage_id, term),
+pdfs AS (SELECT term, count(*) AS df FROM ptfs GROUP BY term),
+pidf AS (
+  SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM pdfs, ptot
+),
+pcontrib AS (
+  SELECT ptfs.passage_id,
+         CAST(round((idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                 * (dl / (sum_dl / n_docs)))))) * 1000000.0) AS BIGINT) AS c
+  FROM ptfs
+  JOIN pidf USING (term)
+  JOIN plens ON plens.passage_id = ptfs.passage_id, ptot
+),
+pscored AS (
+  SELECT passage_id, round(sum(c) / 1000000.0, 6) AS score
+  FROM pcontrib GROUP BY passage_id
+)
+SELECT passage_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, passage_id) AS BIGINT) AS rank
+FROM pscored QUALIFY rank <= 20"""
     )
     out["line_filters"] = MD_CTE + r""",
 lf_t AS (SELECT doc_id, string_split(coalesce(markdown, ''), chr(10)) AS ls FROM md),
