@@ -604,15 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAG passage retrieval: BM25 over SECTIONS instead of whole
         # docs — the chunk-granularity index a retrieval pipeline
         # actually serves. Reuses the verified section split and the
-        # micro-unit-exact BM25 with its two-phase top-k.
-        md = _extracted(spark, sf_dir).select("doc_id", "markdown")
-        secs = navigation.sections_relational(md)
-        passages = secs.select(
-            F.concat_ws(
-                "#", F.col("doc_id"), F.col("section_idx").cast("string")
-            ).alias("passage_id"),
-            F.col("content").alias("text"),
-        )
+        # micro-unit-exact BM25 with its two-phase top-k; same helper
+        # as the CLI --granularity passage and MCP search_corpus paths.
+        passages = retrieval.passage_corpus(_docs(spark, sf_dir))
         return retrieval.bm25_search(
             passages, ["spark", "window"], id_col="passage_id", top_k=20
         ).withColumnRenamed("doc_id", "passage_id")

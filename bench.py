@@ -769,7 +769,15 @@ def write_baseline_md(
                     if pair == head
                     else " (mid-saturation cross-check: the 4N level = "
                     "half the box sits at the shared memory-bus ceiling "
-                    "— see method for the controlled x4-vs-x8 evidence)\n"
+                    "— see method for the controlled x4-vs-x8 evidence"
+                    + (
+                        "; NOTE this pair — the rounds-1-4 headline — "
+                        "ALSO clears the >= 0.8 bar at current pooled "
+                        "bests"
+                        if float(e) >= 0.8
+                        else ""
+                    )
+                    + ")\n"
                     if pair == "4->16"
                     else " (host-saturated pair, see method)\n"
                 )

@@ -145,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
                          "hits as JSON lines")
     ap.add_argument("--top-k", type=int, default=10,
                     help="result count for --search (default 10)")
+    ap.add_argument("--granularity", choices=("doc", "passage"), default="doc",
+                    help="--search index granularity: whole documents "
+                         "(default) or extracted sections (RAG passages, "
+                         "ids doc_id#section_idx)")
     ap.add_argument("--report", action="store_true",
                     help="print the one-row corpus health report "
                          "(doc/lang/source counts, token volume, exact-dup "
@@ -168,8 +172,15 @@ def main(argv: list[str] | None = None) -> int:
             print("Error: --search query is empty", file=sys.stderr)
             return 2
         spark = get_spark(app_name="docstrange_spark_cli", cores=args.cpus)
+        corpus_df = spark.read.parquet(args.input)
+        if args.granularity == "passage":
+            # RAG-shaped retrieval: extract -> section split -> BM25
+            # over passages; ids become doc_id#section_idx
+            corpus_df = retrieval.passage_corpus(corpus_df).withColumnRenamed(
+                "passage_id", "doc_id"
+            )
         hits = retrieval.bm25_search(
-            spark.read.parquet(args.input),
+            corpus_df,
             args.search.split(),
             top_k=args.top_k,
         ).collect()  # bounded by --top-k — never the corpus

@@ -294,3 +294,29 @@ def proximity_search(
         "doc_id", F.array_min(dists).cast("long").alias("min_dist")
     )
     return out.where(F.col("min_dist") <= window)
+
+
+def passage_corpus(docs: DataFrame) -> DataFrame:
+    """(passage_id, text) passage table for RAG-granularity retrieval:
+    spanize -> extract -> section split, ids ``doc_id#section_idx``.
+    Feed the result to :func:`bm25_search` with ``id_col="passage_id"``
+    — the shape the CLI's ``--granularity passage``, the MCP
+    ``search_corpus`` tool, and the ``passage_search`` contract query
+    all share.
+
+    Scale shape: one extraction kernel pass plus the zero-join section
+    split; the passage table is a projection of it (materialize it once
+    in production, like ``search_materialized``'s section store).
+    """
+    from . import extract as ex
+    from . import navigation, spanize
+
+    md = ex.extract(spanize.spanize(docs), include_spans=False).select(
+        "doc_id", "markdown"
+    )
+    return navigation.sections_relational(md).select(
+        F.concat_ws(
+            "#", F.col("doc_id"), F.col("section_idx").cast("string")
+        ).alias("passage_id"),
+        F.col("content").alias("text"),
+    )

@@ -118,7 +118,12 @@ TOOLS: dict[str, tuple[str, dict, list[str]]] = {
                          "description": "Documents-style parquet dir "
                                         "(doc_id, text)"},
          "query": {"type": "string", "description": "Search query"},
-         "top_k": {"type": "integer", "default": 10}},
+         "top_k": {"type": "integer", "default": 10},
+         "granularity": {"type": "string", "enum": ["doc", "passage"],
+                         "default": "doc",
+                         "description": "Index whole documents or "
+                                        "extracted sections (RAG "
+                                        "passages, ids doc_id#idx)"}},
         ["corpus_path", "query"],
     ),
 }
@@ -199,8 +204,15 @@ class DocServer:
             if not terms:
                 return {"error": "empty query"}
             top_k = int(args.get("top_k", 10))
+            corpus_df = self.spark.read.parquet(args["corpus_path"])
+            if args.get("granularity", "doc") == "passage":
+                # RAG passage index: extract -> section split -> BM25,
+                # ids doc_id#section_idx (same path as CLI --granularity)
+                corpus_df = retrieval.passage_corpus(
+                    corpus_df
+                ).withColumnRenamed("passage_id", "doc_id")
             hits = retrieval.bm25_search(
-                self.spark.read.parquet(args["corpus_path"]),
+                corpus_df,
                 terms,
                 top_k=top_k,
             ).collect()  # bounded by top_k — never the corpus

@@ -287,3 +287,28 @@ def test_cli_update_corpus_roundtrip(spark, tmp_path, capsys):
     # refresh without a prior build is a clean exit-2 error
     assert cli.main([new_p, "--update-corpus", old_p,
                      "--out", str(tmp_path / "empty"), "--cpus", "4"]) == 2
+
+
+def test_cli_passage_search(spark, capsys):
+    """--granularity passage indexes extracted sections and matches the
+    passage_search contract query's top hits."""
+    import json as _json
+
+    import __spark_entry__ as em
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = cli.main([src, "--search", "spark window", "--granularity",
+                   "passage", "--top-k", "5", "--cpus", "4"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    hits = [_json.loads(l) for l in lines]
+    assert len(hits) == 5
+    assert all("#" in h["doc_id"] for h in hits)
+    contract = {
+        r["passage_id"]: (r["rank"], r["score"])
+        for r in em.queries()["passage_search"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for h in hits:
+        assert contract[h["doc_id"]] == (h["rank"], h["score"])

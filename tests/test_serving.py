@@ -179,3 +179,24 @@ def test_search_corpus_matches_cli_path(server, capsys):
     err = _call(server, "search_corpus",
                 {"corpus_path": src, "query": "   "})
     assert err == {"error": "empty query"}
+
+
+def test_search_corpus_passage_granularity(server):
+    """granularity=passage answers from the shared passage_corpus helper
+    — ids are doc_id#section_idx and match the contract query's ranks."""
+    import __spark_entry__ as em
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = _call(server, "search_corpus",
+                {"corpus_path": src, "query": "spark window",
+                 "top_k": 5, "granularity": "passage"})
+    assert out["n_results"] == 5
+    assert all("#" in h["doc_id"] for h in out["results"])
+    contract = {
+        r["passage_id"]: (r["rank"], r["score"])
+        for r in em.queries()["passage_search"](
+            server.spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for h in out["results"]:
+        assert contract[h["doc_id"]] == (h["rank"], h["score"])
