@@ -148,6 +148,7 @@ _DRIVER_PRIORITY = [
     "hard_negatives",
     "classifier_calibration",
     "passage_search",
+    "token_drift",
     # ---- ~50-row driver window boundary (r3/r4 files were exactly 50
     # rows) — everything below is covered by tests/test_oracle_parity's
     # local all-queries run and by earlier rounds' driver files --------
@@ -610,6 +611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieval.bm25_search(
             passages, ["spark", "window"], id_col="passage_id", top_k=20
         ).withColumnRenamed("doc_id", "passage_id")
+
+    def q_token_drift(spark, sf_dir):
+        # distribution-drift monitor: top token share movers between
+        # the even- and odd-id halves of the corpus (the update_corpus
+        # companion report)
+        return curation.token_drift(
+            _docs(spark, sf_dir), F.col("doc_id") % 2 == 0, top_k=50
+        )
 
     def q_classifier_calibration(spark, sf_dir):
         # reliability diagram: decile bins of predicted probability vs
@@ -1352,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": q_classifier_eval,
         "classifier_calibration": q_classifier_calibration,
         "passage_search": q_passage_search,
+        "token_drift": q_token_drift,
         "proximity_search": q_proximity_search,
         "bigram_pmi": q_bigram_pmi,
         "materialize_batches": q_materialize_batches,
@@ -3351,6 +3361,37 @@ FROM s3"""
         "       round(sum(label) * 1.0 / count(*), 6) AS pos_rate\n"
         "FROM preds GROUP BY 1"
     )
+    out["token_drift"] = r"""
+WITH td_tk AS (
+  SELECT doc_id % 2 = 0 AS side_a, u.term AS token
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents) t, unnest(toks) AS u(term)
+),
+td_c AS (
+  SELECT token,
+         sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS count_a,
+         sum(CASE WHEN NOT side_a THEN 1 ELSE 0 END) AS count_b
+  FROM td_tk GROUP BY token
+),
+td_tot AS (SELECT sum(count_a) AS ta, sum(count_b) AS tb FROM td_c),
+td_d AS (
+  SELECT token,
+         CAST(count_a AS BIGINT) AS count_a,
+         CAST(count_b AS BIGINT) AS count_b,
+         round(CASE WHEN ta > 0 THEN count_a * 1.0 / ta ELSE 0.0 END, 6)
+           AS share_a,
+         round(CASE WHEN tb > 0 THEN count_b * 1.0 / tb ELSE 0.0 END, 6)
+           AS share_b,
+         round((CASE WHEN ta > 0 THEN count_a * 1.0 / ta ELSE 0.0 END)
+               - (CASE WHEN tb > 0 THEN count_b * 1.0 / tb ELSE 0.0 END), 6)
+           AS delta
+  FROM td_c, td_tot
+)
+SELECT token, count_a, count_b, share_a, share_b, delta,
+       CAST(row_number() OVER (ORDER BY abs(delta) DESC, token) AS BIGINT)
+         AS rank
+FROM td_d QUALIFY rank <= 50"""
     out["passage_search"] = (
         MD_CTE
         + SECTIONS_CTE

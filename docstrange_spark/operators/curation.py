@@ -1677,3 +1677,81 @@ def budget_select(
         .where(F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", "quality", "n_tokens", "cum_tokens")
     )
+
+
+def token_drift(
+    df: DataFrame,
+    side_expr,
+    text_col: str = "text",
+    top_k: int = 50,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Unigram distribution drift between two corpus sides — the
+    monitoring table a pipeline reads after ``update_corpus`` or a
+    source swap ("which tokens moved, and by how much"). ``side_expr``
+    is a boolean Column splitting the corpus (side A where true); the
+    output is the top-``top_k`` tokens by absolute share delta:
+    (token, count_a, count_b, share_a, share_b, delta, rank), shares
+    rounded 6 dp, ``delta = share_a - share_b`` computed on the
+    unrounded ratios then rounded.
+
+    Cross-engine exactness: counts and totals are exact integers, the
+    shares/delta are single double divisions on identical operands. A
+    NULL ``side_expr`` row counts in NEITHER side (both engines' CASE
+    semantics).
+
+    Scale shape: one map-side-combined count aggregation; totals join
+    as a 1-row broadcast; the global top-k is the skew-safe two-phase
+    rank (per-md5-shard top-k, re-rank <= n_shards*top_k survivors).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    toks = df.select(
+        side_expr.cast("boolean").alias("side_a"),
+        F.explode(text_analysis.nonempty_tokens(text_col)).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("side_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("count_a"),
+        F.sum(F.when(~F.col("side_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("count_b"),
+    )
+    tot = counts.agg(
+        F.sum("count_a").cast("long").alias("ta"),
+        F.sum("count_b").cast("long").alias("tb"),
+    )
+    share_a = F.when(
+        F.col("ta") > 0, F.col("count_a") / F.col("ta")
+    ).otherwise(F.lit(0.0))
+    share_b = F.when(
+        F.col("tb") > 0, F.col("count_b") / F.col("tb")
+    ).otherwise(F.lit(0.0))
+    d = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "count_a",
+        "count_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(share_a - share_b, 6).alias("delta"),
+    )
+    order = (F.desc(F.abs(F.col("delta"))), F.asc("token"))
+    ranked = d
+    if n_shards > 1:
+        w1 = Window.partitionBy("_shard").orderBy(*order)
+        ranked = (
+            ranked.withColumn("_shard", _md5_long28(F.col("token")) % n_shards)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= top_k)
+            .drop("_shard", "_r1")
+        )
+    # bounded single-partition re-rank over <= n_shards*top_k survivors
+    # (same justification as top_vocabulary)
+    w2 = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -987,3 +987,41 @@ def test_zipf_fit_exact_power_law(spark):
     assert abs(r["slope"] + 1.0) < 0.02, r["slope"]
     assert r["r2"] > 0.999, r["r2"]
     assert r["n_types"] == 20 and r["top_n_used"] == 20
+
+
+def test_token_drift_planted_movers(spark):
+    """Side A over-represents 'alpha', side B 'beta' — they must rank
+    as the top movers with opposite-sign deltas, and shares must be
+    exact count ratios."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "alpha common word") for i in range(0, 10, 2)]
+    rows += [(i, "beta common word") for i in range(1, 10, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.token_drift(df, F.col("doc_id") % 2 == 0, top_k=10)
+    got = {r["token"]: r for r in out.collect()}
+    # 5 docs x 3 tokens per side
+    assert got["alpha"]["count_a"] == 5 and got["alpha"]["count_b"] == 0
+    assert got["beta"]["count_a"] == 0 and got["beta"]["count_b"] == 5
+    assert got["alpha"]["delta"] == round(5 / 15, 6)
+    assert got["beta"]["delta"] == -round(5 / 15, 6)
+    # alpha/beta tie on |delta| -> token asc tie-break
+    assert {got["alpha"]["rank"], got["beta"]["rank"]} == {1, 2}
+    assert got["alpha"]["rank"] == 1
+    # balanced tokens have zero delta
+    assert got["common"]["delta"] == 0.0 and got["word"]["delta"] == 0.0
+
+
+def test_token_drift_null_side_counts_neither(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "x z"), (None, "x poison")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in curation.token_drift(
+        df, F.col("doc_id") % 2 == 0, top_k=10).collect()}
+    # the NULL-side doc's tokens appear in neither side's counts
+    assert out["x"]["count_a"] == 1 and out["x"]["count_b"] == 1
+    assert "poison" in out and out["poison"]["count_a"] == 0 \
+        and out["poison"]["count_b"] == 0
