@@ -201,3 +201,23 @@ def test_audio_near_dups_single_decode_pass(spark):
     # joins must not re-run the decode kernel
     df = mm._dhash_pairs(sigs, 6, None)
     assert plans.count_python_stages(df) == 0
+
+
+def test_token_drift_broadcast_totals_no_python(docs):
+    from docstrange_spark.operators import curation
+
+    df = curation.token_drift(docs, F.col("doc_id") % 2 == 0, top_k=10)
+    assert plans.count_python_stages(df) == 0  # pure codegen
+    # the 1-row totals join must be a broadcast, never a shuffle join
+    assert "BroadcastExchange" in plans.executed_plan(df)
+    plans.assert_scan_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_calibration_bins_single_agg_exchange(docs):
+    from docstrange_spark.operators import classifier
+
+    preds = classifier.quality_classifier(docs, F.col("lang") == F.lit("en"))
+    df = classifier.calibration_bins(preds)
+    # the binning itself adds ONE hash-agg exchange on top of the
+    # scoring projection (training aggregates run driver-side earlier)
+    assert plans.count_python_stages(df) == 0
