@@ -4172,7 +4172,7 @@ planes AS (
        unnest(generate_series(1, 64)) AS ui(i)
 ),
 comp AS (
-  SELECT e.vec_id, p.j, round(sum(e.v * p.w), 4) AS y
+  SELECT e.vec_id, p.j, round(sum(e.v * p.w), 4) + 0.0 AS y
   FROM ex e JOIN planes p ON p.i = e.i GROUP BY 1, 2
 )
 SELECT vec_id, list(y ORDER BY j) AS proj

@@ -949,6 +949,10 @@ def embedding_project(
     for j in range(out_dim):
         pj = F.array(*[F.lit(float(P[j, i])) for i in range(dim)])
         comps.append(
+            # + 0.0 normalizes IEEE -0.0 to +0.0: engines disagree on
+            # the sign round() leaves on a tiny negative sum (DuckDB
+            # keeps -0.0, Spark does not), and a signed zero is a
+            # value-hash mismatch even though -0.0 == 0.0
             F.round(
                 F.aggregate(
                     F.zip_with(vec, pj, lambda x, w: x * w),
@@ -957,6 +961,7 @@ def embedding_project(
                 ),
                 4,
             )
+            + F.lit(0.0)
         )
     return embeddings.select(
         F.col(id_col).alias("vec_id"), F.array(*comps).alias("proj")
