@@ -144,7 +144,9 @@ _DRIVER_PRIORITY = [
     "audio_fingerprint",
     "event_funnel",
     "retention_cohorts",
-    "pq_codes",
+    # interleaved text+media extraction — the north-rule payload shape,
+    # new this round and on-theme for the extraction tier
+    "extract_media_md",
     "hard_negatives",
     "classifier_calibration",
     "passage_search",
@@ -154,6 +156,7 @@ _DRIVER_PRIORITY = [
     # local all-queries run and by earlier rounds' driver files --------
     # (e) round-5 additions: variants / second halves of pipelines whose
     # first half is in the window above
+    "pq_codes",
     "temperature_mix",
     "bpe_pair_counts",
     "bigram_logprob",
@@ -313,6 +316,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DOCX semantics: 20-row table cap + merged-cell warning (O16)
         spans = spanize.spanize_docx(_docs(spark, sf_dir))
         return extract.extract(spans, include_spans=False).select("doc_id", "markdown")
+
+    def q_extract_media_md(spark, sf_dir):
+        # interleaved text+media stream end-to-end: image -> ![alt](ref),
+        # link -> [text](ref) through the singleton block path — the
+        # north-rule payload shape with opaque media_ref columns
+        spans = spanize.spanize_media_docs(_docs(spark, sf_dir))
+        return extract.extract(spans, include_spans=False).select(
+            "doc_id", "markdown"
+        )
 
     def q_extract_pptx_md(spark, sf_dir):
         # PPTX slide sectioning (S11/O18): '## Slide {n}' page breaks,
@@ -1299,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table_md": q_extract_table_md,
         "extract_table_csv": q_extract_table_csv,
         "extract_list_md": q_extract_list_md,
+        "extract_media_md": q_extract_media_md,
         "extract_markup_md": q_extract_markup_md,
         "extract_layout_md": q_extract_layout_md,
         "extract_ocr_md": q_extract_ocr_md,
@@ -2108,6 +2121,28 @@ SELECT doc_id,
        '  - ' || w[2] || chr(10) ||
        '1. ' || w[3] || chr(10) ||
        '2. ' || w[4] AS markdown
+FROM tk""",
+        "extract_media_md": r"""
+WITH t AS (
+  SELECT 'media_page-' || doc_id AS doc_id,
+         string_split(coalesce(text,''), ' ') AS toks
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 5), i ->
+           CASE WHEN i <= len(toks) AND length(toks[i]) > 0
+                THEN toks[i] ELSE 'm' || (i - 1) END) AS w
+  FROM t
+)
+SELECT doc_id,
+       '# Media ' || doc_id || chr(10) || chr(10) ||
+       w[1] || chr(10) || chr(10) ||
+       '![' || w[2] || '](img/' || w[2] || '.png)' || chr(10) || chr(10) ||
+       w[3] || chr(10) || chr(10) ||
+       '[' || w[4] || '](https://media.example/' || w[4] || ')'
+         || chr(10) || chr(10) ||
+       '![' || w[5] || '](img/' || w[5] || '.png)' AS markdown
 FROM tk""",
         # the markup bridge routes through DOM boilerplate stripping
         # (whitelist on even ids, density scoring on odd ids) and must

@@ -383,3 +383,43 @@ def spanize(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         _kernel, schema=SPAN_SCHEMA_DDL
     )
+
+
+def spanize_media(doc_id: str, text: str) -> list[dict]:
+    """Media bridge: an INTERLEAVED text + media span stream — heading,
+    paragraph, image, paragraph, link, image — exercising the kernel's
+    media renditions (``![alt](ref)`` / ``[text](ref)``, the assembly
+    singleton block path) end-to-end, SQL-reconstructible.
+    Missing/empty tokens pad as m{i}. The media_ref column carries the
+    opaque reference the north-rule span model stores for binary
+    payloads (the kernel never dereferences it)."""
+    toks = (text or "").split(" ")
+
+    def tok(i: int) -> str:
+        return toks[i] if i < len(toks) and toks[i] else f"m{i}"
+
+    return [
+        {"kind": "heading", "text": f"Media {doc_id}", "media_ref": "h1",
+         "offset": 0},
+        {"kind": "text", "text": tok(0), "media_ref": "", "offset": 1},
+        {"kind": "image", "text": tok(1),
+         "media_ref": f"img/{tok(1)}.png", "offset": 2},
+        {"kind": "text", "text": tok(2), "media_ref": "", "offset": 3},
+        {"kind": "link", "text": tok(3),
+         "media_ref": f"https://media.example/{tok(3)}", "offset": 4},
+        {"kind": "image", "text": tok(4),
+         "media_ref": f"img/{tok(4)}.png", "offset": 5},
+    ]
+
+
+def _media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = "media_page-" + pdf["doc_id"].astype(str)
+        spans = [spanize_media(d, t) for d, t in zip(ids, pdf["text"].fillna(""))]
+        yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+
+def spanize_media_docs(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id", "text").mapInPandas(
+        _media_kernel, schema=SPAN_SCHEMA_DDL
+    )
