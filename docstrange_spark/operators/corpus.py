@@ -214,7 +214,15 @@ def corpus_plan(docs: DataFrame, materialize: bool = True, **overrides) -> DataF
     kernel re-executes once per reference, measured ~5x the wall) and
     the selected set (referenced by packing twice, which would replay
     the dedup closure). ``build_corpus`` gets the same effect from its
-    per-stage parquet materialization."""
+    per-stage parquet materialization.
+
+    Fault-tolerance note: ``localCheckpoint`` stores blocks on the
+    executors, so it survives task retries but NOT executor loss — the
+    right trade for this single-plan contract surface. The production
+    entry point is ``build_corpus``, whose per-stage parquet + atomic
+    markers are durable and resumable; long-lived clusters can also
+    pass ``checkpoint_dir`` to the dedup stage for reliable
+    ``checkpoint()`` (see ``dedup.dedup_clusters``)."""
     cfg = {**DEFAULTS, **overrides}
     cdocs = _extract_stage(docs)
     if materialize:
