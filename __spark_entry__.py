@@ -156,6 +156,7 @@ _DRIVER_PRIORITY = [
     # local all-queries run and by earlier rounds' driver files --------
     # (e) round-5 additions: variants / second halves of pipelines whose
     # first half is in the window above
+    "media_manifest",
     "pq_codes",
     "temperature_mix",
     "bpe_pair_counts",
@@ -324,6 +325,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spans = spanize.spanize_media_docs(_docs(spark, sf_dir))
         return extract.extract(spans, include_spans=False).select(
             "doc_id", "markdown"
+        )
+
+    def q_media_manifest(spark, sf_dir):
+        # the fetch work-list for the (out-of-scope) download stage:
+        # distinct media references with occurrence / referencing-doc
+        # counts — the engine emits the manifest, an external fetcher
+        # consumes it (reference URL download = S5, network-oos)
+        spans = spanize.spanize_media_docs(_docs(spark, sf_dir))
+        flat = spans.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).where(F.col("s.kind").isin("image", "link"))
+        return flat.groupBy(
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.kind").alias("kind"),
+        ).agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
 
     def q_extract_pptx_md(spark, sf_dir):
@@ -1312,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table_csv": q_extract_table_csv,
         "extract_list_md": q_extract_list_md,
         "extract_media_md": q_extract_media_md,
+        "media_manifest": q_media_manifest,
         "extract_markup_md": q_extract_markup_md,
         "extract_layout_md": q_extract_layout_md,
         "extract_ocr_md": q_extract_ocr_md,
@@ -2144,6 +2163,30 @@ SELECT doc_id,
          || chr(10) || chr(10) ||
        '![' || w[5] || '](img/' || w[5] || '.png)' AS markdown
 FROM tk""",
+        "media_manifest": r"""
+WITH t AS (
+  SELECT 'media_page-' || doc_id AS doc_id,
+         string_split(coalesce(text,''), ' ') AS toks
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 5), i ->
+           CASE WHEN i <= len(toks) AND length(toks[i]) > 0
+                THEN toks[i] ELSE 'm' || (i - 1) END) AS w
+  FROM t
+),
+refs AS (
+  SELECT doc_id, 'image' AS kind, 'img/' || w[2] || '.png' AS media_ref FROM tk
+  UNION ALL
+  SELECT doc_id, 'link', 'https://media.example/' || w[4] FROM tk
+  UNION ALL
+  SELECT doc_id, 'image', 'img/' || w[5] || '.png' FROM tk
+)
+SELECT media_ref, kind,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM refs GROUP BY media_ref, kind""",
         # the markup bridge routes through DOM boilerplate stripping
         # (whitelist on even ids, density scoring on odd ids) and must
         # land on the exact same markdown as the direct bridge
