@@ -79,3 +79,25 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert len(rows) > 0
     assert set(df.columns) >= {"doc_id", "profile", "n_blocks", "markdown_hash"}
+
+
+def test_driver_priority_names_resolve_and_window_holds():
+    """Every _DRIVER_PRIORITY name must be a real query (typo guard),
+    and the ~50-row driver window must contain the queries that need
+    round-5 driver evidence: the never-checked set, the stale-since-r2
+    set, and the advice-touched set."""
+    qs = entry_mod.queries()
+    missing = [n for n in entry_mod._DRIVER_PRIORITY if n not in qs]
+    assert not missing, f"_DRIVER_PRIORITY names not in queries(): {missing}"
+    window = list(qs)[:50]
+    must = {
+        "build_corpus", "bm25_search", "inverted_index", "term_search",
+        "phrase_search", "proximity_search", "text_knn", "ann_recall",
+        "classifier_eval", "materialize_batches", "lsh_eval",
+        "renditions", "chunks", "hierarchy", "sessions",
+        "lineitem_pricing", "top_customers", "events_by_user",
+        "quality_classifier", "corpus_diff", "source_mix",
+        "extract_media_md",
+    }
+    out = sorted(must - set(window))
+    assert not out, f"queries that need driver evidence fell out: {out}"
