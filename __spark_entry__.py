@@ -157,6 +157,7 @@ _DRIVER_PRIORITY = [
     # (e) round-5 additions: variants / second halves of pipelines whose
     # first half is in the window above
     "media_manifest",
+    "tokenizer_fertility",
     "pq_codes",
     "temperature_mix",
     "bpe_pair_counts",
@@ -1240,6 +1241,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token counts and compression
         return text_analysis.bpe_encode(_docs(spark, sf_dir), n_merges=4)
 
+    def q_tokenizer_fertility(spark, sf_dir):
+        # per-language BPE fertility (tokens per pre-token word): the
+        # standard "does the tokenizer serve every language equally"
+        # check before committing a vocab — integer-sum exact
+        docs = _docs(spark, sf_dir)
+        enc = text_analysis.bpe_encode(docs, n_merges=4)
+        return (
+            enc.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_pieces").cast("long").alias("n_pieces"),
+                F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                F.round(
+                    F.sum("n_bpe_tokens") / F.sum("n_pieces"), 6
+                ).alias("fertility"),
+            )
+        )
+
     def q_image_dhash(spark, sf_dir):
         # perceptual hashes over REAL encoded BMP bytes (deterministic
         # md5-pixel corpus); the oracle recomputes from the pixel rule,
@@ -1443,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "budget_select": q_budget_select,
         "bpe_encode": q_bpe_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
         "image_clusters": q_image_clusters,
@@ -4409,6 +4430,16 @@ SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_pieces,
        CAST(sum(k * p_chars) AS BIGINT) AS n_chars,
        round(sum(k * p_chars) * 1.0 / sum(k * n_sym), 6) AS compression
 FROM dpc JOIN nsym USING (piece) GROUP BY doc_id"""
+    out["tokenizer_fertility"] = (
+        "WITH enc AS (" + out["bpe_encode"] + ")\n"
+        """SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(sum(e.n_bpe_tokens) * 1.0 / sum(e.n_pieces), 6) AS fertility
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+    )
     # per-stage rejection funnel over the fineweb chain: first failing
     # rule in chain order attributes the rejection
     from docstrange_spark.operators.text_analysis import FUNNEL_STAGES
