@@ -945,6 +945,9 @@ def dsir_weights(
     no bigram profile and are omitted (same contract as
     ``unigram_logprob``).
     """
+    # deliberately NOT spread (guide §1.2): one md5 per bigram is cheap
+    # map work — measured 1.60 s without vs 2.20 s with the extra
+    # exchange at sf0.1/local[32]
     t = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(target_col).cast("boolean").alias("is_target"),

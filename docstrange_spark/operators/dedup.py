@@ -41,7 +41,14 @@ def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles, exploded: (doc_id, shingle). Generated fully
-    inside codegen (split + sequence + transform), no UDF."""
+    inside codegen (split + sequence + transform), no UDF. The input is
+    ``spread`` first (guide §2.5): gram construction is the expensive
+    map-side stage of every signature pass, and on a low-split input
+    (single-row-group parquet) it would otherwise serialize onto one
+    scan task."""
+    from .partitioning import spread
+
+    df = spread(df, id_col)
     toks = F.split(F.lower(F.col(text_col)), " ")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
@@ -718,6 +725,10 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def _simhash(df: DataFrame, bits: int, id_col: str, text_col: str) -> DataFrame:
+    # deliberately NOT spread (guide §1.2 "measure first"): the per-token
+    # work here is 16 conditional sums — measured 0.53 s single-task at
+    # sf0.1 vs 1.35 s with the extra exchange (the exchange's fixed cost
+    # exceeds the map work it parallelizes)
     n_hex = bits // 4
     toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     t = df.select(F.col(id_col).alias("doc_id"), toks)
@@ -914,7 +925,9 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str, n: int):
     0-based over the nonempty-token stream (the shared tokenizer used
     by decontamination/phrase search, so gram spaces agree)."""
     from . import text_analysis
+    from .partitioning import spread
 
+    df = spread(df, id_col)
     toks = text_analysis.nonempty_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     occ = base.select(

@@ -22,7 +22,13 @@ MICRO = 1_000_000.0
 
 
 def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, term, pos) token stream — 0-based positions."""
+    """(doc_id, term, pos) token stream — 0-based positions.
+
+    Deliberately NOT ``spread`` (guide §1.2 "measure first"): plain
+    tokenization is cheap map work — measured bm25 0.95 s without vs
+    1.79 s with the extra exchange at sf0.1/local[32]; the exchange's
+    fixed cost exceeds the work it parallelizes (unlike the k-hash
+    shingle pass in ``dedup.shingles``, where spread wins 2.8x)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(text_analysis.nonempty_tokens(text_col)).alias(
