@@ -54,68 +54,93 @@ def explode_lines(df: DataFrame, doc_col: str = "doc_id", text_col: str = "markd
 def sections_relational(
     df: DataFrame, doc_col: str = "doc_id", text_col: str = "markdown"
 ) -> DataFrame:
-    """Section table via posexplode + running header count + group-agg.
+    """Section table, computed **shuffle-free** as per-document array
+    ops: split into lines, find header positions, slice each section's
+    line range, explode. Section derivation is embarrassingly parallel
+    per document, so the plan is scan -> project -> generate with ZERO
+    exchanges (the previous posexplode + running-count window +
+    group-agg formulation paid 3 exchanges for the same rows — removed
+    in round 6, guide §2.4 "remove shuffles outright").
 
     Matches the kernel's MCP semantics: a section spans its header line
     up to the line before the next header; pre-first-header lines belong
     to no section; a header-less document is one level-0
-    "Document Content" section covering every line.
-    """
-    lines = explode_lines(df, doc_col, text_col)
-    marked = lines.withColumn(
-        "is_header", F.col("line").rlike(HEADER_REGEX).cast("int")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seq = marked.withColumn("sec_seq", F.sum("is_header").over(w))
-    # deterministic line order inside the group: sort the collected structs
-    seq2 = seq.groupBy("doc_id", "sec_seq").agg(
-        F.max("is_header").alias("has_header"),
-        F.min(F.when(F.col("is_header") == 1, F.col("line"))).alias("header_line"),
-        F.min("line_no").alias("start_line"),
-        F.max("line_no").alias("end_line"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda x: x["line"],
-            ),
-        ).alias("content"),
-    )
-    # header count per doc as a window over the (already tiny) grouped
-    # rows — one lineage, no second full-lines aggregation + join
-    secs = seq2.withColumn(
-        "n_headers", F.sum("has_header").over(Window.partitionBy("doc_id"))
-    )
+    "Document Content" section covering every line; an exactly-empty
+    document yields no section at all.
 
-    # single-pass section emit — no union (a union would duplicate the
-    # whole upstream lineage in the plan). A header-less document is by
-    # construction ONE group (sec_seq = 0 everywhere), which is exactly
-    # its level-0 "Document Content" section; pre-first-header groups in
-    # header-ful docs are dropped; an exactly-empty document yields no
-    # section at all (kernel: ``if not sections and markdown_content``).
-    has_hdrs = F.col("n_headers") > 0
-    return secs.where(
-        (has_hdrs & (F.col("has_header") == 1))
-        | (~has_hdrs & (F.length("content") > 0))
-    ).select(
+    The line array and header-position array are materialized as
+    projection columns before the per-section transform so each is
+    computed once per document (an inlined ``split`` inside the lambda
+    would re-split per element).
+    """
+    base = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(text_col).alias("_md"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    lines = F.col("_lines")
+    n_lines = F.size(lines)
+    with_hdr = base.select(
         "doc_id",
-        F.when(has_hdrs, F.col("sec_seq") - 1).otherwise(0).cast("int").alias("section_idx"),
-        F.when(
-            has_hdrs,
-            F.length(F.regexp_extract("header_line", r"^(#{1,6})\s", 1)),
-        ).otherwise(0).cast("int").alias("level"),
-        F.when(
-            has_hdrs,
-            F.trim(F.regexp_extract("header_line", r"^#{1,6}\s+(.+)$", 1)),
-        ).otherwise("Document Content").alias("title"),
-        "content",
-        F.col("start_line").cast("int"),
-        F.col("end_line").cast("int"),
-        F.floor(F.length("content") / 4).cast("int").alias("token_count"),
+        "_md",
+        "_lines",
+        # 1-based indices of header lines
+        F.filter(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.element_at(lines, i).rlike(HEADER_REGEX),
+        ).alias("_hidx"),
+    )
+    hidx = F.col("_hidx")
+    n_hdr = F.size(hidx)
+
+    def _section(k):
+        # k is 1-based over the header list
+        start = F.element_at(hidx, k)
+        end = F.when(k < n_hdr, F.element_at(hidx, k + 1) - 1).otherwise(
+            n_lines
+        )
+        hline = F.element_at(lines, start)
+        return F.struct(
+            (k - 1).cast("int").alias("section_idx"),
+            F.length(F.regexp_extract(hline, r"^(#{1,6})\s", 1))
+            .cast("int")
+            .alias("level"),
+            F.trim(F.regexp_extract(hline, r"^#{1,6}\s+(.+)$", 1)).alias(
+                "title"
+            ),
+            F.array_join(F.slice(lines, start, end - start + 1), "\n").alias(
+                "content"
+            ),
+            (start - 1).cast("int").alias("start_line"),
+            (end - 1).cast("int").alias("end_line"),
+        )
+
+    whole_doc = F.struct(
+        F.lit(0).cast("int").alias("section_idx"),
+        F.lit(0).cast("int").alias("level"),
+        F.lit("Document Content").alias("title"),
+        # every line joined back = the original markdown
+        F.col("_md").alias("content"),
+        F.lit(0).cast("int").alias("start_line"),
+        (n_lines - 1).cast("int").alias("end_line"),
+    )
+    secs = (
+        F.when(n_hdr > 0, F.transform(F.sequence(F.lit(1), n_hdr), _section))
+        .when(F.length("_md") > 0, F.array(whole_doc))
+        .otherwise(F.array().cast(
+            "array<struct<section_idx:int,level:int,title:string,"
+            "content:string,start_line:int,end_line:int>>"
+        ))
+    )
+    return with_hdr.select("doc_id", F.explode(secs).alias("_s")).select(
+        "doc_id",
+        F.col("_s.section_idx").alias("section_idx"),
+        F.col("_s.level").alias("level"),
+        F.col("_s.title").alias("title"),
+        F.col("_s.content").alias("content"),
+        F.col("_s.start_line").alias("start_line"),
+        F.col("_s.end_line").alias("end_line"),
+        F.floor(F.length("_s.content") / 4).cast("int").alias("token_count"),
     )
 
 
@@ -127,38 +152,56 @@ def search_relational(
     case_sensitive: bool = False,
 ) -> DataFrame:
     """Substring search with ±2-line window context and enclosing-section
-    attribution (N5). The section join is a broadcast range join on line
-    spans — the only join in the reference's whole surface."""
+    attribution (N5).
+
+    Round-6 plan shape: ONE exchange. The enclosing section of a line
+    is by construction the nearest header line at-or-before it (sections
+    tile the document from the first header to the end), so attribution
+    is a ``last(header_title, ignorenulls)`` over the SAME per-document
+    window the ±2-line context already needs — the previous formulation
+    re-derived the whole section table (3 more exchanges) and attached
+    it with a range join (guide §2.4: two operations keyed the same way
+    share one exchange). Fallbacks match the section-table semantics
+    exactly: a hit above the first header gets "Unknown Section"; a hit
+    in a header-less (necessarily non-empty) document gets the
+    "Document Content" whole-doc section."""
     lines = explode_lines(df, doc_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("line_no")
-    ctx = lines.withColumn(
-        "context",
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("doc_id")
+    is_header = F.col("line").rlike(HEADER_REGEX)
+    hdr_title = F.when(
+        is_header, F.trim(F.regexp_extract("line", r"^#{1,6}\s+(.+)$", 1))
+    )
+    ctx = lines.select(
+        "doc_id",
+        "line_no",
+        "line",
+        # concat_ws skips the NULLs lag/lead produce at document edges,
+        # reproducing the shrinking rowsBetween(-2, 2) frame exactly
         F.concat_ws(
             "\n",
-            F.collect_list("line").over(w.rowsBetween(-2, 2)),
-        ),
+            F.lag("line", 2).over(w),
+            F.lag("line", 1).over(w),
+            F.col("line"),
+            F.lead("line", 1).over(w),
+            F.lead("line", 2).over(w),
+        ).alias("context"),
+        F.last(hdr_title, ignorenulls=True).over(wcum).alias("_sec"),
+        F.max(is_header.cast("int")).over(wall).alias("_has_hdr"),
     )
     needle = query if case_sensitive else query.lower()
     hay = F.col("line") if case_sensitive else F.lower(F.col("line"))
-    hits = ctx.where(F.instr(hay, needle) > 0)
-    secs = sections_relational(df, doc_col, text_col).select(
+    return ctx.where(F.instr(hay, needle) > 0).select(
         "doc_id",
-        F.col("title").alias("section"),
-        F.col("start_line").alias("s"),
-        F.col("end_line").alias("e"),
-    )
-    joined = hits.join(
-        secs,
-        (hits["doc_id"] == secs["doc_id"])
-        & (F.col("line_no") >= F.col("s"))
-        & (F.col("line_no") <= F.col("e")),
-        "left",
-    )
-    return joined.select(
-        hits["doc_id"],
         (F.col("line_no") + 1).alias("line_number"),
         F.col("line").alias("line_content"),
-        F.coalesce(F.col("section"), F.lit("Unknown Section")).alias("section"),
+        F.coalesce(
+            F.col("_sec"),
+            F.when(F.col("_has_hdr") == 1, F.lit("Unknown Section")).otherwise(
+                F.lit("Document Content")
+            ),
+        ).alias("section"),
         "context",
     )
 
@@ -188,9 +231,18 @@ def search_over_sections(
         F.posexplode(F.split("content", "\n")).alias("rel", "line"),
     ).withColumn("line_no", F.col("start_line") + F.col("rel"))
     w = Window.partitionBy("doc_id").orderBy("line_no")
+    # lag/lead + concat_ws (NULLs skipped at edges) instead of a
+    # collect_list frame: same bytes, no per-row array materialization
     ctx = lines.withColumn(
         "context",
-        F.concat_ws("\n", F.collect_list("line").over(w.rowsBetween(-2, 2))),
+        F.concat_ws(
+            "\n",
+            F.lag("line", 2).over(w),
+            F.lag("line", 1).over(w),
+            F.col("line"),
+            F.lead("line", 1).over(w),
+            F.lead("line", 2).over(w),
+        ),
     )
     needle = query if case_sensitive else query.lower()
     hay = F.col("line") if case_sensitive else F.lower(F.col("line"))
