@@ -27,6 +27,15 @@ def _dot(a, b):
     )
 
 
+# Round-6 measurement note (guide §1.2): a static-width expansion of
+# this fold (a chain of element_at products, bit-identical addition
+# order) was tried and measured SLOWER — 4.2 s vs 2.6 s for 400k
+# 64-dim pairs — because the depth-128 Add tree defeats whole-stage
+# codegen and falls back to per-node interpreted eval. The fold stays;
+# the pair-scoring hot loop is optimized structurally instead (see
+# semantic_dedup's per-cell kernel).
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(
@@ -713,13 +722,26 @@ def semantic_dedup(
     false iff some cluster-mate with a smaller id has
     round(cosine, 4) >= tau — the deterministic keep-the-first rule
     (smallest id survives each duplicate relation; no transitive
-    closure, matching SemDeDup's greedy prune)."""
-    from docstrange_spark.operators.dedup import bucket_pairs
+    closure, matching SemDeDup's greedy prune).
 
+    Round-6 plan shape (guide §8 "decide with small rows, move big rows
+    once"): the within-cell scoring is ONE ``applyInPandas`` kernel per
+    cell, so each vector crosses the cell shuffle exactly once. The
+    previous relational formulation expanded the pair list first and
+    then joined BOTH endpoint vectors onto every pair — |pairs| >> |vectors|
+    copies of the payload — and paid the interpreted
+    ``aggregate(zip_with(...))`` fold per pair (measured: the fold alone
+    was ~0.9 s of the 2.1 s total at sf0.1). The kernel reproduces the
+    relational semantics bit-for-bit: fold-order float accumulation for
+    dot and norm, Spark's BigDecimal HALF_UP rounding at the tau
+    boundary (exact Decimal check for borderline values), NaN compares
+    greater (Spark ordering), chain pairing over sorted ids for cells
+    above ``max_cell_size``. Oracle-checked against the same DuckDB
+    twin as before."""
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", _norm(F.col("vec")))
+    )
     if centroids is None:
         probe = _probe_udf_lazy(n_cells, 1)
     else:
@@ -727,41 +749,17 @@ def semantic_dedup(
     assigned = base.withColumn(
         "cell", F.element_at(probe(F.col("vec")), 1)
     )
-    # fan-out point: the assignment feeds both the pair join (twice)
-    # and the output projection; without a checkpoint the pandas UDF
-    # would run three times
+    # fan-out point: the assignment feeds both the scoring kernel and
+    # the output projection; without a checkpoint the pandas UDF would
+    # run twice
     assigned = assigned.localCheckpoint(eager=False)
-    pairs = bucket_pairs(
-        assigned.select("cell", "vid"),
-        keys=["cell"],
-        id_col="vid",
-        max_bucket_size=max_cell_size,
-        out_a="vid_a",
-        out_b="vid_b",
-    )
-    va = assigned.select(
-        F.col("vid").alias("vid_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    vb = assigned.select(
-        F.col("vid").alias("vid_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
     dropped = (
-        pairs.join(va, "vid_a")
-        .join(vb, "vid_b")
-        .where(
-            F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                4,
-            )
-            >= tau
+        assigned.select("cell", "vid", "vec")
+        .groupBy("cell")
+        .applyInPandas(
+            _semantic_dedup_cell_kernel(float(tau), max_cell_size),
+            schema="vid long",
         )
-        .select(F.col("vid_b").alias("vid"))
-        .distinct()
         .withColumn("_dropped", F.lit(True))
     )
     return (
@@ -772,6 +770,86 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def _semantic_dedup_cell_kernel(tau: float, max_cell_size: int | None):
+    """Per-cell scorer for :func:`semantic_dedup`: returns the vids to
+    drop. Numerics replicate the relational formulation exactly:
+
+    - dot and squared-norm accumulate dimension-by-dimension in index
+      order starting from 0.0 — the identical float-addition sequence
+      of ``aggregate(zip_with(a,b,*), 0.0, +)`` — vectorized ACROSS
+      pairs, sequential across dims, so every scalar op matches;
+    - the predicate ``round(cosine, 4) >= tau`` uses Spark's double
+      rounding (BigDecimal.valueOf == Decimal(repr(x)), HALF_UP).
+      Values more than 2e-4 from tau are decided vectorized; the rare
+      borderline values get the exact Decimal check; NaN (zero-norm
+      vectors) compares GREATER, as in Spark's ordering;
+    - cells above ``max_cell_size`` link consecutive sorted ids only
+      (the chain-cap contract of ``dedup.bucket_pairs``); smaller cells
+      score every i<j pair, blocked so peak memory stays bounded by
+      ~4M pairs regardless of cell size.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q4 = Decimal("0.0001")
+    t_hi = tau + 2e-4
+    t_lo = tau - 2e-4
+
+    def pred(c: np.ndarray) -> np.ndarray:
+        out = np.isnan(c) | (c >= t_hi)
+        mid = np.nonzero(~out & (c > t_lo))[0]
+        for idx in mid:
+            v = float(c[idx])
+            r = float(Decimal(repr(v)).quantize(q4, rounding=ROUND_HALF_UP))
+            out[idx] = r >= tau
+        return out
+
+    def fold_dot(X: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(ia), dtype=np.float64)
+        for d in range(X.shape[1]):
+            acc = acc + X[ia, d] * X[ib, d]
+        return acc
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"vid": pd.array([], dtype="int64")})
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vid")
+        vids = pdf["vid"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        acc = np.zeros(m, dtype=np.float64)
+        for d in range(X.shape[1]):
+            x = X[:, d]
+            acc = acc + x * x
+        nrm = np.sqrt(acc)
+        dropped = np.zeros(m, dtype=bool)
+
+        def mark(ia: np.ndarray, ib: np.ndarray) -> None:
+            # zero-norm vectors: the relational form RAISES under ANSI
+            # (DIVIDE_BY_ZERO); here the NaN cosine conservatively
+            # counts as a duplicate (Spark orders NaN greatest) — a
+            # strictly more robust behavior on an input the contract
+            # corpora never contain
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = fold_dot(X, ia, ib) / (nrm[ia] * nrm[ib])
+            dropped[ib[pred(c)]] = True
+
+        if max_cell_size is not None and m > max_cell_size:
+            idx = np.arange(m - 1)
+            mark(idx, idx + 1)
+        else:
+            block = max(1, 4_000_000 // m)
+            for s in range(0, m - 1, block):
+                e = min(s + block, m - 1)
+                anchors = np.arange(s, e)
+                ia = np.repeat(anchors, m - anchors - 1)
+                ib = np.concatenate([np.arange(i + 1, m) for i in anchors])
+                mark(ia, ib)
+        return pd.DataFrame({"vid": vids[dropped].astype("int64")})
+
+    return kernel
 
 
 def _assign_batches(
