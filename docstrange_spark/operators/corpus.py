@@ -128,9 +128,16 @@ def _clean_stage(
 
 
 def _signals_stage(cdocs: DataFrame) -> DataFrame:
-    q = text_analysis.quality_score(cdocs).select("doc_id", "quality")
-    lang = text_analysis.lang_id(cdocs).select("doc_id", "lang_guess")
-    return q.join(lang, "doc_id")
+    # quality and language are both pure column projections over the
+    # text, so compute them in ONE chained projection (quality_score's
+    # `keep` threads text through, lang_id's threads quality back out).
+    # The previous q.join(lang, "doc_id") was a self-join of two
+    # projections of the same frame — two exchanges for nothing
+    # (guide §2.4 "remove shuffles outright").
+    q = text_analysis.quality_score(cdocs, keep=("text",))
+    return text_analysis.lang_id(q, keep=("quality",)).select(
+        "doc_id", "quality", "lang_guess"
+    )
 
 
 def _dedup_stage(
@@ -151,8 +158,7 @@ def _dedup_stage(
 
 
 def _select_stage(
-    cdocs: DataFrame,
-    signals: DataFrame,
+    sig_docs: DataFrame,
     clusters: DataFrame,
     quality_min: float,
     per_source: int,
@@ -160,9 +166,14 @@ def _select_stage(
     default_frac: float,
     test_frac: float,
 ) -> DataFrame:
+    """``sig_docs`` carries the signal columns on the document rows
+    (doc_id, text, source, quality, lang_guess): build_corpus joins its
+    materialized signals stage back on; corpus_plan projects the
+    signals inline (they are pure column expressions — joining a
+    projection of a frame back onto the same frame paid two exchanges
+    for nothing)."""
     filt = (
-        cdocs.join(signals, "doc_id")
-        .join(clusters, "doc_id")
+        sig_docs.join(clusters, "doc_id")
         .where(
             (F.col("quality") >= quality_min)
             & (F.col("cluster_rep") == F.col("doc_id"))
@@ -240,13 +251,18 @@ def corpus_plan(docs: DataFrame, materialize: bool = True, **overrides) -> DataF
         )
         if materialize:
             cdocs = cdocs.localCheckpoint()
-    signals = _signals_stage(cdocs)
+    # signals inline: quality and lang_guess are pure projections, so
+    # they ride the document rows directly instead of materializing a
+    # separate signals frame and joining it back (2 exchanges saved)
+    sig_docs = text_analysis.lang_id(
+        text_analysis.quality_score(cdocs, keep=("text", "source", "lang")),
+        keep=("text", "source", "quality"),
+    )
     clusters = _dedup_stage(
         cdocs, cfg["jaccard_threshold"], cfg["max_bucket_size"]
     )
     selected = _select_stage(
-        cdocs,
-        signals,
+        sig_docs,
         clusters,
         cfg["quality_min"],
         cfg["per_source"],
@@ -428,7 +444,7 @@ def build_corpus(
         selected = run_stage(
             "select",
             lambda: _select_stage(
-                cdocs, signals, clusters,
+                cdocs.join(signals, "doc_id"), clusters,
                 cfg["quality_min"], cfg["per_source"], cfg["fractions"],
                 cfg["default_frac"], cfg["test_frac"],
             ),

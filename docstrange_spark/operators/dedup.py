@@ -467,7 +467,9 @@ def connected_components(
 
         _set_round_dir("edges")
 
-        def _cp(df: DataFrame) -> DataFrame:
+        def _cp(df: DataFrame, eager: bool = True) -> DataFrame:
+            # reliable mode stays eager: the round-dir reclamation below
+            # assumes a round's files exist once _cp returns
             return df.checkpoint()
 
     else:
@@ -481,8 +483,12 @@ def connected_components(
         def _restore_dir() -> None:
             pass
 
-        def _cp(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+        def _cp(df: DataFrame, eager: bool = True) -> DataFrame:
+            # eager=False defers materialization to the NEXT action —
+            # safe only when exactly one consumer triggers that action
+            # (a lazy checkpoint referenced twice in one plan would
+            # compute its lineage twice during materialization)
+            return df.localCheckpoint(eager=eager)
 
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -531,7 +537,9 @@ def connected_components(
                     "old_label",
                 )
             )
-            nxt = _cp(nxt)
+            # lazy: the convergence count right below is nxt's single
+            # materializing action — one job instead of two per round
+            nxt = _cp(nxt, eager=False)
             changed = nxt.where(F.col("new_label") != F.col("old_label")).count()
             labels = nxt.select("vid", F.col("new_label").alias("label"))
             # this round's checkpoints are materialized (checkpoint() is
@@ -660,38 +668,48 @@ def jaccard_pairs(
     sampler, a re-rank of a modest candidate set). Set ``False`` when
     the candidate list itself is corpus-scale (a full web-dedup pass):
     the semi-join then shuffles both sides on doc_id instead of
-    materializing the id set on every executor."""
-    # shingle only the documents the pair list touches (semi-join) —
-    # the shingle subtree is referenced three times below and Spark
-    # re-executes uncached lineage per reference
+    materializing the id set on every executor.
+
+    Round-6 plan shape: each touched document's distinct shingle SET is
+    aggregated once (``collect_set``, one exchange), the two sets join
+    onto each pair by doc id, and the intersection is
+    ``size(array_intersect(...))`` in the JVM. The previous exploded
+    formulation shuffled individual (doc, shingle) rows through a
+    shingle-equality join plus two size joins — 8 exchanges and a
+    per-shingle join where this needs 4 exchanges and a per-pair array
+    op. Identical output: intersection/union counts are exact integers
+    either way, so round(j, 6) cannot drift. A document's shingle set
+    is bounded by document length (the same bound the exploded join's
+    per-doc groups had), never by corpus size."""
+    # shingle only the documents the pair list touches (semi-join)
     relevant = (
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
     )
     if broadcast_relevant:
         relevant = F.broadcast(relevant)
     df = df.join(relevant, id_col, "semi")
-    sh = shingles(df, id_col, text_col, n).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, (pairs["doc_b"] == b["doc_b"]) & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("doc_a", pairs["doc_b"].alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    sets = (
+        shingles(df, id_col, text_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # the set table feeds BOTH endpoint joins; uncheckpointed, Spark
+    # re-executes the semi-join + shingle + collect_set lineage per
+    # reference (verified in the plan: the whole subtree appeared twice)
+    sets = sets.localCheckpoint(eager=True)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    n_a = F.size("set_a")
+    n_b = F.size("set_b")
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                n_inter / (n_a + n_b - n_inter),
                 6,
             ).alias("jaccard"),
         )

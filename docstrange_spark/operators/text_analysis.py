@@ -101,16 +101,25 @@ def quality_score(
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+) -> DataFrame:
     """Marker-word language scoring: argmax over per-language stopword
     hit counts; ties and zero scores resolve to 'und'. Deterministic
-    tie-break by language code order."""
+    tie-break by language code order. ``keep`` passes extra columns
+    through unchanged (pure projection — cheaper than re-joining the
+    guess back on the id, same contract as ``quality_score``)."""
     toks = _tokens(text_col)
     scores = [
         F.size(F.filter(toks, lambda w: w.isin(*markers))).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = df.select(F.col(id_col).alias("doc_id"), *scores)
+    scored = df.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in keep], *scores
+    )
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     guess = F.lit("und")
@@ -120,7 +129,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(guess)
     return scored.select(
-        "doc_id", guess.alias("lang_guess"), best.cast("long").alias("best_score")
+        "doc_id",
+        *[F.col(c) for c in keep],
+        guess.alias("lang_guess"),
+        best.cast("long").alias("best_score"),
     )
 
 

@@ -12,14 +12,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Span arrays are fat (hundreds of structs per row). 1024 rows/batch
+# Span arrays are fat (hundreds of structs per row). 2048 rows/batch
 # balances per-batch Python overhead (dominant at high parallelism)
 # against memory; the extract kernel additionally slices batches by a
-# span budget so mega-documents cannot blow executor memory regardless
-# of this setting. (The reference processes one doc at a time —
-# /root/reference/docstrange/extractor.py:200-225 — so it never faces
-# this; we do.)
-ARROW_MAX_RECORDS = 1024
+# span budget (MAX_BATCH_SPANS = 128k spans) so mega-documents cannot
+# blow executor memory regardless of this setting. (The reference
+# processes one doc at a time — /root/reference/docstrange/
+# extractor.py:200-225 — so it never faces this; we do.)
+# Round-6 A/B at sf0.1/local[32], 5 runs each: 1024 -> 3.28 s median,
+# 2048 -> 2.77 s, 4096 -> 2.84 s, 8192 -> 2.85 s; 2048 keeps the
+# per-batch overhead win while staying well under the span budget
+# (~40 spans/doc x 2048 ~ 80k spans per batch).
+ARROW_MAX_RECORDS = 2048
 
 
 def get_spark(

@@ -27,7 +27,11 @@ def test_exact_dedup_single_shuffle_pruned(docs):
 
 def test_minhash_single_shuffle(docs):
     df = dedup.minhash_signatures(docs)
-    plans.assert_max_shuffles(df, 1)
+    # one aggregation shuffle, plus (on this low-split fixture input)
+    # the adaptive scan-parallelism repartition from partitioning.spread
+    # — guide §2.5's "unsplittable input" floor; it does not fire on
+    # healthy multi-split scans
+    plans.assert_max_shuffles(df, 2)
     assert plans.count_python_stages(df) == 0  # pure codegen
 
 
