@@ -495,9 +495,16 @@ def connected_components(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = _cp(edges)
+    # lazy: round 0's stepped checkpoint is the first action touching
+    # either frame and materializes both in that one job. edges is
+    # referenced once per plan; labels twice (prop + the left side),
+    # so its cheap one-projection lineage may run twice DURING that
+    # single materialization — still strictly less work than a
+    # dedicated eager job each (two fewer Spark jobs per invocation).
+    edges = _cp(edges, eager=False)
     labels = _cp(
-        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
+        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label")),
+        eager=False,
     )
     try:
         for round_no in range(max_iter):
