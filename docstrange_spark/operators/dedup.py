@@ -948,14 +948,17 @@ def lsh_eval(
 def _gram_occurrences(df: DataFrame, id_col: str, text_col: str, n: int):
     """(doc_id, start, gram) for every word n-gram occurrence, start
     0-based over the nonempty-token stream (the shared tokenizer used
-    by decontamination/phrase search, so gram spaces agree)."""
+    by decontamination/phrase search, so gram spaces agree).
+
+    ``base`` (the per-doc token table) is NOT spread — its consumers
+    are cheap per-doc projections; only the gram explosion above it
+    gets the §2.5 scan-parallelism floor."""
     from . import text_analysis
     from .partitioning import spread
 
-    df = spread(df, id_col)
     toks = text_analysis.nonempty_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
-    occ = base.select(
+    occ = spread(base, "doc_id").select(
         "doc_id",
         F.posexplode(text_analysis.word_ngrams(F.col("toks"), n)).alias(
             "start", "gram"
@@ -977,15 +980,22 @@ def dup_ngram_stats(
     repeats included, matching exact-substring semantics) reaches
     ``min_count``; dup_tokens is the size of the UNION of the marked
     n-token spans (overlaps merged via the doc-partitioned window), so
-    it never exceeds n_tokens."""
+    it never exceeds n_tokens.
+
+    The duplicated-gram filter is a count window over the gram-keyed
+    exchange rather than a count aggregation joined back: the join
+    formulation referenced the gram-explosion lineage twice (Spark
+    re-executes it per reference — 12 exchanges in the measured plan),
+    the window references it once. A degenerate gram's partition is
+    processed by the sort-based window (spillable rows, no collected
+    array), the same boundedness the join had."""
     base, occ = _gram_occurrences(df, id_col, text_col, n)
-    dup_grams = (
-        occ.groupBy("gram")
-        .agg(F.count("*").alias("occ_total"))
-        .where(F.col("occ_total") >= min_count)
-        .select("gram")
+    w_gram = Window.partitionBy("gram")
+    marked = (
+        occ.withColumn("_ot", F.count("*").over(w_gram))
+        .where(F.col("_ot") >= min_count)
+        .drop("_ot")
     )
-    marked = occ.join(dup_grams, "gram")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("start")
@@ -1053,15 +1063,16 @@ def dup_span_scrub(
     The scrub works on distinct covered POSITIONS (explode each marked
     span to its n positions, distinct) rather than merged intervals:
     the per-doc position set is bounded by document length, and the
-    anti-join keeps token reassembly a single doc-keyed aggregation."""
+    anti-join keeps token reassembly a single doc-keyed aggregation.
+    The duplicated-gram filter is a count window over the gram exchange
+    (single reference to the explosion lineage — see dup_ngram_stats)."""
     base, occ = _gram_occurrences(df, id_col, text_col, n)
-    dup_grams = (
-        occ.groupBy("gram")
-        .agg(F.count("*").alias("occ_total"))
-        .where(F.col("occ_total") >= min_count)
-        .select("gram")
+    w_gram = Window.partitionBy("gram")
+    marked = (
+        occ.withColumn("_ot", F.count("*").over(w_gram))
+        .where(F.col("_ot") >= min_count)
+        .drop("_ot")
     )
-    marked = occ.join(dup_grams, "gram")
     covered_pos = marked.select(
         "doc_id",
         F.explode(
