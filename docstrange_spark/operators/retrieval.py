@@ -312,7 +312,12 @@ def passage_corpus(docs: DataFrame) -> DataFrame:
 
     Scale shape: one extraction kernel pass plus the zero-join section
     split; the passage table is a projection of it (materialize it once
-    in production, like ``search_materialized``'s section store).
+    in production, like ``search_materialized``'s section store). The
+    result is localCheckpoint-ed here: BM25 references its corpus
+    several times (lengths, totals, postings), and since the round-6
+    section split is exchange-free there is no ReusedExchange node left
+    to deduplicate the extraction-kernel subtree — uncheckpointed, the
+    kernel would re-execute once per reference.
     """
     from . import extract as ex
     from . import navigation, spanize
@@ -320,9 +325,10 @@ def passage_corpus(docs: DataFrame) -> DataFrame:
     md = ex.extract(spanize.spanize(docs), include_spans=False).select(
         "doc_id", "markdown"
     )
-    return navigation.sections_relational(md).select(
+    passages = navigation.sections_relational(md).select(
         F.concat_ws(
             "#", F.col("doc_id"), F.col("section_idx").cast("string")
         ).alias("passage_id"),
         F.col("content").alias("text"),
     )
+    return passages.localCheckpoint(eager=True)

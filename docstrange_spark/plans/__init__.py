@@ -33,7 +33,16 @@ def count_exchanges(df: DataFrame) -> int:
 
 def count_python_stages(df: DataFrame) -> int:
     plan = executed_plan(df)
-    return sum(plan.count(tag) for tag in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"))
+    return sum(
+        plan.count(tag)
+        for tag in (
+            "MapInPandas",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "FlatMapGroupsInPandas",
+            "MapInArrow",
+        )
+    )
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
